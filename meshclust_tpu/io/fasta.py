@@ -130,7 +130,14 @@ def encode_record(header: str, seq_bytes: bytes) -> Optional[Sequence]:
             f"Invalid nucleotide {chr(int(raw[pos]))!r} at position {pos} in "
             f"record {header!r}"
         )
-    codes = np.where(is_n, np.uint8(N_BYTE), codes)
+    # ChromosomeOneDigit::encodeNucleotides: positions INSIDE (merged)
+    # segments are always encoded via the codes map — including N's absorbed
+    # by mergeSegments (N->C). Only N's OUTSIDE segments keep the literal 'N'
+    # byte (ChromosomeOneDigit.cpp:95-144).
+    inseg = np.zeros(raw.shape[0], dtype=bool)
+    for _s, _e in segs:
+        inseg[_s: _e + 1] = True
+    codes = np.where(is_n & ~inseg, np.uint8(N_BYTE), codes)
     if raw.shape[0] == 0:
         return None
     return Sequence(header=header, codes=codes, segments=segs)

@@ -1,0 +1,255 @@
+"""Batched k-mer histogram featurization (TPU one-hot/segment-sum kernel).
+
+Reference semantics (KmerHashTable + fill_table, SURVEY C3/N4):
+- dense 4^k direct-addressed count table, initialized to `init`
+  (1 for meshclust histograms => +1 pseudocount, KmerHashTable.cpp:32-83),
+- rolling hash id(p) = sum_i codes[p+i] * 4^(k-1-i) (KmerHashTable.cpp:106-159),
+- only k-mer windows fully inside one segment chunk are counted
+  (fill_table, ClusterFactory.h:40-55); the host precomputes that validity
+  mask (io.fasta.kmer_valid_starts).
+
+TPU design: no scatter. counts[b, v] = sum_l valid[b,l] * [ids[b,l] == v]
+computed per (batch-tile x 128-lane) block on the VPU, streaming the L axis.
+The id computation (k shifted multiply-adds) is fused XLA elementwise work.
+
+Two implementations with identical results:
+- `histogram_xla`: scatter-add fallback (any backend, used in tests),
+- `histogram_pallas`: the Pallas TPU kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from meshclust_tpu.io import fasta as fio
+
+LANE = 128
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def round_up(a: int, b: int) -> int:
+    return cdiv(a, b) * b
+
+
+def kmer_ids(codes: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Rolling-hash ids [B, L] from digit codes [B, L] (int32, garbage where
+    any window position is invalid — callers mask with `valid`)."""
+    codes = jnp.where(codes > 3, 0, codes).astype(jnp.int32)
+    L = codes.shape[-1]
+    ids = jnp.zeros_like(codes)
+    for i in range(k):
+        power = 4 ** (k - 1 - i)
+        shifted = jnp.concatenate(
+            [codes[:, i:], jnp.zeros((codes.shape[0], i), jnp.int32)], axis=1
+        ) if i else codes
+        ids = ids + shifted * power
+    return ids
+
+
+def histogram_xla(codes: jnp.ndarray, valid: jnp.ndarray, k: int,
+                  init: int = 1) -> jnp.ndarray:
+    """Scatter-add reference path. codes [B, L] uint8/int32, valid [B, L]
+    bool/int32 -> counts [B, 4^k] int32."""
+    B, L = codes.shape
+    V = 4 ** k
+    ids = kmer_ids(codes, k)
+    v = valid.astype(jnp.int32)
+    flat = (jnp.arange(B, dtype=jnp.int32)[:, None] * V + ids).reshape(-1)
+    counts = jnp.zeros((B * V,), jnp.int32).at[flat].add(v.reshape(-1))
+    return counts.reshape(B, V) + jnp.int32(init)
+
+
+def _split_k(k: int) -> Tuple[int, int]:
+    """Split k into (k1, k2) so id = hi * 4^k2 + lo; V1=4^k1, V2=4^k2."""
+    k1 = k // 2
+    return k1, k - k1
+
+
+def _hist_mxu_kernel(ids_ref, valid_ref, out_ref, *, tb: int, V1: int,
+                     V2: int, L: int):
+    """Per-sequence histogram as a one-hot outer-product matmul on the MXU.
+
+    ids [1, tb, L] i32 (k-mer ids, garbage where invalid), valid [1, tb, L]
+    f32. out [1, tb, V1, V2] f32:
+        out[0, b, hi, lo] = sum_l valid[b,l] * [ids[b,l] == hi*V2 + lo].
+
+    Both one-hots are built in [V, L] row layout (broadcast compare against a
+    row of ids — no in-kernel transposes) and contracted over L on the MXU
+    (A @ B^T shape).
+    """
+    iota_v1 = jax.lax.broadcasted_iota(jnp.int32, (V1, L), 0)
+    iota_v2 = jax.lax.broadcasted_iota(jnp.int32, (V2, L), 0)
+    for b in range(tb):  # static unroll over the row tile
+        ids_row = ids_ref[0, b:b + 1, :]         # [1, L]
+        val_row = valid_ref[0, b:b + 1, :]       # [1, L]
+        hi = jax.lax.div(ids_row, V2)
+        lo = jax.lax.rem(ids_row, V2)
+        oh_hi = (iota_v1 == hi).astype(jnp.float32) * val_row   # [V1, L]
+        oh_lo = (iota_v2 == lo).astype(jnp.float32)             # [V2, L]
+        cnt = jax.lax.dot_general(
+            oh_hi, oh_lo,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                        # [V1, V2]
+        out_ref[0, b, :, :] = cnt
+
+
+@functools.partial(jax.jit, static_argnames=("k", "init", "tb", "interpret"))
+def histogram_pallas(codes: jnp.ndarray, valid: jnp.ndarray, k: int,
+                     init: int = 1, tb: int = 8,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Pallas TPU histogram. Same contract as histogram_xla.
+
+    Counts stay < 2^24 per (sequence, k-mer) in any realistic input, so f32
+    MXU accumulation is exact; guarded by featurize() falling back to the
+    scatter path for pathological lengths.
+    """
+    B, L = codes.shape
+    V = 4 ** k
+    k1, k2 = _split_k(k)
+    V1, V2 = 4 ** k1, 4 ** k2
+    Bp = round_up(B, tb)
+    ids = kmer_ids(codes.astype(jnp.int32), k)
+    v = valid.astype(jnp.float32)
+    if Bp != B:
+        pad = ((0, Bp - B), (0, 0))
+        ids = jnp.pad(ids, pad)
+        v = jnp.pad(v, pad)
+    ids3 = ids.reshape(Bp // tb, tb, L)
+    val3 = v.reshape(Bp // tb, tb, L)
+
+    out = pl.pallas_call(
+        functools.partial(_hist_mxu_kernel, tb=tb, V1=V1, V2=V2, L=L),
+        grid=(Bp // tb,),
+        in_specs=[
+            pl.BlockSpec((1, tb, L), lambda ib: (ib, 0, 0)),
+            pl.BlockSpec((1, tb, L), lambda ib: (ib, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, tb, V1, V2), lambda ib: (ib, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp // tb, tb, V1, V2), jnp.float32),
+        interpret=interpret,
+    )(ids3, val3)
+    counts = out.reshape(Bp, V)[:B].astype(jnp.int32)
+    return counts + jnp.int32(init)
+
+
+def one_mer_counts(codes: jnp.ndarray, in_seg: jnp.ndarray) -> jnp.ndarray:
+    """1-mer counts [B, 4] (init 0), ref get_divergence_point's second table
+    (ClusterFactory.cpp:996,1001). Counted over in-segment positions."""
+    c = codes.astype(jnp.int32)
+    m = in_seg.astype(jnp.int32)
+    return jnp.stack(
+        [jnp.sum((c == i) * m, axis=1) for i in range(4)], axis=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side batch preparation
+# ---------------------------------------------------------------------------
+
+def pad_batch(seqs: List[fio.Sequence], k: int, pad_to: int | None = None
+              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad a list of Sequences to [B, Lpad] (codes, kmer-valid, in-segment)."""
+    L = max(s.length for s in seqs)
+    Lp = pad_to or round_up(max(L, LANE), LANE)
+    B = len(seqs)
+    codes = np.zeros((B, Lp), np.uint8)
+    valid = np.zeros((B, Lp), np.uint8)
+    inseg = np.zeros((B, Lp), np.uint8)
+    for i, s in enumerate(seqs):
+        codes[i, : s.length] = s.codes
+        valid[i, : s.length] = fio.kmer_valid_starts(s, k)
+        inseg[i, : s.length] = fio.in_segment_mask(s)
+    return codes, valid, inseg
+
+
+def length_buckets(lengths: List[int], granularity: int = 256,
+                   max_bucket_rows: int = 16384) -> List[List[int]]:
+    """Group sequence indices into padded-length buckets to bound padding
+    waste and recompilation count."""
+    order = np.argsort(np.asarray(lengths, dtype=np.int64), kind="stable")
+    buckets: List[List[int]] = []
+    cur: List[int] = []
+    cur_pad = None
+    for idx in order:
+        pad = round_up(max(int(lengths[idx]), 1), granularity)
+        if cur and (pad != cur_pad or len(cur) >= max_bucket_rows):
+            buckets.append(cur)
+            cur = []
+        cur_pad = pad
+        cur.append(int(idx))
+    if cur:
+        buckets.append(cur)
+    return buckets
+
+
+def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
+              init: int = 1) -> dict:
+    """Featurize all sequences: k-mer histograms (+pseudocount), 1-mer counts,
+    pseudo-magnitudes, lengths. Returns numpy arrays in input order.
+
+    Ref: ClusterFactory::build_points + get_divergence_point
+    (ClusterFactory.cpp:770-804, 989-1010).
+    """
+    N = len(seqs)
+    V = 4 ** k
+    lengths = [s.length for s in seqs]
+    hist = np.zeros((N, V), np.int32)
+    k1 = np.zeros((N, 4), np.int64)
+    on_tpu = jax.default_backend() == "tpu"
+    fn = histogram_pallas if (use_pallas and on_tpu) else (
+        lambda c, v, k, init: histogram_xla(c, v, k, init))
+    for bucket in length_buckets(lengths):
+        sub = [seqs[i] for i in bucket]
+        codes, valid, inseg = pad_batch(sub, k)
+        counts = np.asarray(fn(jnp.asarray(codes), jnp.asarray(valid), k,
+                               init))
+        ones = np.asarray(one_mer_counts(jnp.asarray(codes),
+                                         jnp.asarray(inseg)))
+        hist[np.asarray(bucket)] = counts
+        k1[np.asarray(bucket)] = ones
+    mag = hist.astype(np.int64).sum(axis=1)
+    return {
+        "hist": hist,
+        "one_mers": k1,
+        "mag": mag,
+        "lengths": np.asarray(lengths, dtype=np.int64),
+        "k": k,
+        "V": V,
+    }
+
+
+def find_k(per_file_seqs: List[List[fio.Sequence]]) -> int:
+    """Auto k = ceil(log4(avg length)) - 1 with the reference's nested
+    integer divisions (Runner.cpp:265-292)."""
+    length = 0
+    for seqs in per_file_seqs:
+        if not seqs:
+            continue
+        l = 0
+        for s in seqs:
+            l += s.length
+        l //= len(seqs)
+        length += l
+    length //= max(1, len(per_file_seqs))
+    return int(np.ceil(np.log(max(length, 2)) / np.log(4.0))) - 1
+
+
+def storage_dtype(largest_count: int):
+    """Histogram storage dtype thresholds (ref Runner.cpp:75-89 uses u8/u16/
+    u32/u64; TPU int8 is signed so the first step is 127)."""
+    if largest_count <= 127:
+        return np.int8
+    if largest_count <= 32767:
+        return np.int16
+    if largest_count <= 2 ** 31 - 1:
+        return np.int32
+    return np.int64

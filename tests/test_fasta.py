@@ -43,8 +43,9 @@ def test_n_segmentation_merge_and_drop():
     rec = fasta.encode_record(">x", seq)
     # gap of 5 merges [0,24] + [30,54] into [0,54]; [85,94] dropped (10 < 20)
     assert rec.segments.tolist() == [[0, 54]]
-    # N positions keep the literal 'N' byte
-    assert rec.codes[25] == fasta.N_BYTE
+    # N inside a merged segment is encoded via the codes map (N->C == 1);
+    # N outside any segment keeps the literal 'N' byte
+    assert rec.codes[25] == 1
     assert rec.codes[84] == fasta.N_BYTE
     # trailing G segment encoded anyway (non-segment non-N chars are encoded)
     assert rec.codes[85] == 2
