@@ -17,6 +17,7 @@ import jax  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS=cpu; the config knob works.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
