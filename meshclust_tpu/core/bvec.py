@@ -1,0 +1,198 @@
+"""Length-binned candidate store — faithful emulation of bvec<T>.
+
+Reference: bvec.{h,cpp} + bvec_iterator (SURVEY C7/C8). This is pure host
+bookkeeping (index lists); the heavy numeric work happens on static device
+arrays addressed through the flattened finalized order (see core/meanshift).
+
+Faithfully reproduced quirks:
+- one bin per `bin_size` sorted lengths; bin lower bounds from the sorted
+  length array (bvec.cpp:10-24),
+- insert into the least-filled eligible bin, middle one on ties
+  (bvec.cpp:152-177),
+- per-bin sort by length at finalize (stable here; the reference's std::sort
+  tie order is unspecified — tie-breaking tolerance) (bvec.cpp:209-218),
+- `get_range`'s bin-level linear scan and the in-bin binary search with its
+  boundary behaviors (bvec.cpp:122-149, 52-120),
+- `pop` from the first non-empty bin; `erase`; `remove_available` harvest of
+  marked entries in bin order (bvec.cpp:27-37, 281-317).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+class BVec:
+    def __init__(self, lengths: np.ndarray, bin_size: int = 1000):
+        lengths = np.sort(np.asarray(lengths, np.int64))
+        self.begin_bounds: List[int] = [
+            int(lengths[i]) for i in range(0, lengths.shape[0], bin_size)
+        ]
+        nb = len(self.begin_bounds)
+        # per-bin parallel lists: point index, length, marked flag
+        self.idx: List[List[int]] = [[] for _ in range(nb)]
+        self.lens: List[List[int]] = [[] for _ in range(nb)]
+        self.marked: List[List[bool]] = [[] for _ in range(nb)]
+
+    # -- construction ------------------------------------------------------
+    def insert(self, point_idx: int, length: int) -> None:
+        front, back = self._index_of(length)
+        sizes = [len(self.idx[i]) for i in range(front, back + 1)]
+        minimum = min(sizes)
+        min_bins = [front + i for i, s in enumerate(sizes) if s == minimum]
+        target = min_bins[len(min_bins) // 2]
+        self.idx[target].append(point_idx)
+        self.lens[target].append(int(length))
+        self.marked[target].append(False)
+
+    def insert_finalize(self) -> None:
+        for b in range(len(self.idx)):
+            order = np.argsort(np.asarray(self.lens[b], np.int64),
+                               kind="stable")
+            self.idx[b] = [self.idx[b][i] for i in order]
+            self.lens[b] = [self.lens[b][i] for i in order]
+            self.marked[b] = [False] * len(self.idx[b])
+
+    # -- queries -----------------------------------------------------------
+    def _index_of(self, length: int) -> Tuple[int, int]:
+        """bvec::index_of — linear scan over begin_bounds (bvec.cpp:122-149)."""
+        bb = self.begin_bounds
+        low = len(bb) - 1
+        high = 0
+        for i in range(len(bb)):
+            prev = bb[i - 1] if i > 0 else 0
+            prev_index = i - 1 if i > 0 else 0
+            if prev <= length <= bb[i]:
+                low = min(low, prev_index)
+                high = max(high, prev_index)
+        if length >= bb[-1]:
+            high = max(high, len(bb) - 1)
+        return low, high
+
+    def _inner_index_of(self, length: int, idx: int, want_front: bool,
+                        want_back: bool):
+        """bvec::inner_index_of with its exact quirks (bvec.cpp:52-120).
+
+        Returns (bin_idx, inner_idx) for the requested side.
+        """
+        data_len = len(self.idx[idx])
+        if data_len == 0:
+            if want_front:
+                for i in range(len(self.idx)):
+                    if self.idx[i]:
+                        return i, 0
+            if want_back:
+                for i in range(len(self.idx) - 1, -1, -1):
+                    if self.idx[i]:
+                        return i, 0
+            return idx, 0
+        lens = self.lens[idx]
+        front = 0
+        back = 0
+        low, high = 0, data_len - 1
+        pre_front: Optional[int] = None
+        pre_back: Optional[int] = None
+        if want_front and length < lens[low]:
+            pre_front = low
+        if want_back and length > lens[high]:
+            pre_back = high
+        while low <= high:
+            mid = (low + high) // 2
+            d = lens[mid]
+            if d == length:
+                front = back = mid
+                break
+            elif length < d:
+                high = mid
+            else:
+                low = mid + 1
+            if low == high:
+                front = low
+                back = high
+                break
+        if want_front:
+            i = front
+            while i >= 0 and lens[i] == length:
+                front = i
+                i -= 1
+            return idx, front if pre_front is None else pre_front
+        if want_back:
+            i = back
+            while i < data_len and lens[i] == length:
+                back = i
+                i += 1
+            return idx, back if pre_back is None else pre_back
+        return idx, front
+
+    def get_range(self, begin_len: int, end_len: int):
+        """-> ((bin, inner), (bin, inner)), INCLUSIVE bounds
+        (bvec.cpp:246-278)."""
+        front_bin, _ = self._index_of(begin_len)[0], None
+        back_bin = self._index_of(end_len)[1]
+        fb, fi = self._inner_index_of(begin_len, front_bin, True, False)
+        bb_, bi = self._inner_index_of(end_len, back_bin, False, True)
+        return (fb, fi), (bb_, bi)
+
+    def iter_range(self, front, back):
+        """Yield (bin, inner) positions from front to back inclusive, with
+        bvec_iterator's skip-empty-bin semantics (bvec_iterator.cpp)."""
+        r, c = front
+        br, bc = back
+        nb = len(self.idx)
+        # normalize start on an empty bin like operator++ would never yield
+        while r < nb and (r < br or (r == br and c <= bc)):
+            if c < len(self.idx[r]):
+                yield (r, c)
+                c += 1
+            else:
+                r += 1
+                c = 0
+                while r < nb and not self.idx[r]:
+                    r += 1
+        return
+
+    # -- mutation ----------------------------------------------------------
+    def pop(self) -> Optional[int]:
+        for b in range(len(self.idx)):
+            if self.idx[b]:
+                p = self.idx[b][0]
+                del self.idx[b][0]
+                del self.lens[b][0]
+                del self.marked[b][0]
+                return p
+        return None
+
+    def erase(self, r: int, c: int) -> None:
+        del self.idx[r][c]
+        del self.lens[r][c]
+        del self.marked[r][c]
+
+    def mark(self, r: int, c: int) -> None:
+        self.marked[r][c] = True
+
+    def remove_available(self, front, back) -> List[int]:
+        """Harvest marked points in bins front.bin..back.bin (FULL bins, like
+        the reference) in bin-then-index order; returns point indices
+        (bvec.cpp:290-317)."""
+        a, b = front[0], back[0]
+        out: List[int] = []
+        for i in range(a, min(b, len(self.idx) - 1) + 1):
+            keep_idx, keep_len, keep_m = [], [], []
+            for j in range(len(self.idx[i])):
+                if self.marked[i][j]:
+                    out.append(self.idx[i][j])
+                else:
+                    keep_idx.append(self.idx[i][j])
+                    keep_len.append(self.lens[i][j])
+                    keep_m.append(False)
+            self.idx[i] = keep_idx
+            self.lens[i] = keep_len
+            self.marked[i] = keep_m
+        return out
+
+    def size(self) -> int:
+        return sum(len(b) for b in self.idx)
+
+    def empty(self) -> bool:
+        return all(not b for b in self.idx)

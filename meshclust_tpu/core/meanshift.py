@@ -1,0 +1,174 @@
+"""Mean-shift clustering engine (ClusterFactory re-design, SURVEY C3).
+
+Phase A  accumulate (ClusterFactory.cpp:637-714): greedy sequential center
+         accumulation over the length-binned store; each iteration is ONE
+         fused device classify over the candidate length-window.
+Phase B  update (ClusterFactory.cpp:290-380) x iterations: per-center pool =
+         members of centers [j-delta, j+delta]; classifier filter; mean;
+         closest member by distance_d becomes the new center.
+Phase C  merge (ClusterFactory.cpp:427-493 + Trainer::merge): banded
+         center-vs-center classification (decisions depend only on
+         pass-start centers, so the band is batchable); member moves applied
+         as a host-side chain.
+
+Determinism: candidate visit order is the bvec order; argmax/argmin ties take
+the first occurrence (the reference's sequential semantics).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from meshclust_tpu.core.bvec import BVec
+from meshclust_tpu.core.points import PointSet
+from meshclust_tpu.utils.log import log
+from meshclust_tpu.utils.progress import Progress
+
+# std::numeric_limits<double>::min() — the reference's merge() best-init
+# (Trainer.cpp:132-135): candidates must have f1 strictly above this.
+_DBL_MIN = 2.2250738585072014e-308
+
+
+@dataclasses.dataclass
+class Center:
+    center: int                 # point index of the representative
+    members: List[int]          # point indices, insertion order
+    deleted: bool = False
+
+
+def mean_select(ps: PointSet, members: np.ndarray) -> int:
+    """get_mean (ClusterFactory.cpp:382-425): mean histogram (float64), then
+    the member minimizing distance_d with the reference's per-element
+    truncation (DivergencePoint.cpp:53-65). Returns a point index."""
+    h = ps.hist[members].astype(np.int64)
+    c = h.sum(axis=0) / len(members)             # float64 mean
+    cw = np.floor(c).astype(np.int64)            # (T)c_i trunc toward zero
+    dist = 2 * np.minimum(h, cw[None, :]).sum(axis=1)
+    mag = np.floor(h.astype(np.float64) + c[None, :]).sum(axis=1)
+    frac = dist.astype(np.float64) / mag
+    d = 10000.0 * (1.0 - frac * frac)
+    return int(members[int(np.argmin(d))])       # first min
+
+
+class MeanShift:
+    def __init__(self, ps: PointSet, backend, sim: float, delta: int,
+                 iterations: int):
+        self.ps = ps
+        self.backend = backend
+        self.sim = sim
+        self.delta = delta
+        self.iterations = iterations
+
+    # -- Phase A -----------------------------------------------------------
+    def accumulate_all(self, bv: BVec) -> List[Center]:
+        ps = self.ps
+        centers: List[Center] = []
+        prog = Progress(bv.size() + 1, "Accumulation")
+        last = bv.pop()
+        while last is not None:
+            last, n = self._accumulate_one(bv, last, centers)
+            prog += n
+        prog.end()
+        return centers
+
+    def _accumulate_one(self, bv: BVec, last: int, centers: List[Center]
+                        ) -> Tuple[Optional[int], int]:
+        ps = self.ps
+        current: List[int] = [last]
+        while True:
+            length = int(ps.lengths[last])
+            lo = int(length * self.sim)
+            hi = int(length / self.sim)
+            front, back = bv.get_range(lo, hi)
+            positions = list(bv.iter_range(front, back))
+            window = np.asarray(
+                [bv.idx[r][c] for r, c in positions], np.int64)
+            res, f1 = self.backend.classify(last, window)
+            is_min = not bool(res.any())
+            if not is_min:
+                for (r, c), hit in zip(positions, res):
+                    if hit:
+                        bv.mark(r, c)
+                harvested = bv.remove_available(front, back)
+                current.extend(harvested)
+                last = mean_select(ps, np.asarray(current, np.int64))
+            else:
+                if window.shape[0] == 0:
+                    next_seed = bv.pop()
+                else:
+                    # next center seed = max-f1 candidate (first max), like
+                    # Trainer::get_close's pmax reduction (Trainer.cpp:99)
+                    best = int(np.argmax(f1))
+                    r, c = positions[best]
+                    next_seed = int(window[best])
+                    bv.erase(r, c)
+                centers.append(Center(last, current))
+                return next_seed, len(current)
+
+    # -- Phase B -----------------------------------------------------------
+    def update_once(self, centers: List[Center]) -> None:
+        """One parallel mean_shift_update sweep (all centers read the same
+        membership snapshot; each writes only its own center)."""
+        ps = self.ps
+        n = len(centers)
+        new_centers = [c.center for c in centers]
+        for j in range(n):
+            i_begin = max(0, j - self.delta)
+            i_end = min(j + self.delta, n - 1)
+            pool: List[int] = []
+            for i in range(i_begin, i_end + 1):
+                pool.extend(centers[i].members)
+            if not pool:
+                continue
+            pool_arr = np.asarray(pool, np.int64)
+            res, _ = self.backend.classify(centers[j].center, pool_arr)
+            good = pool_arr[res]
+            if good.shape[0] == 0:
+                continue
+            nxt = mean_select(ps, good)
+            if nxt != centers[j].center:
+                new_centers[j] = nxt
+        for j in range(n):
+            centers[j].center = new_centers[j]
+
+    def merge_once(self, centers: List[Center]) -> None:
+        """One merge sweep (ClusterFactory.cpp:427-493). All window
+        classifications use pass-start centers; the member-move chain is
+        applied in index order."""
+        n = len(centers)
+        center_idx = np.asarray([c.center for c in centers], np.int64)
+        targets = np.full(n, 0, np.int64)
+        for i in range(n):
+            begin = i + 1
+            last = min(n - 1, i + self.delta)
+            if begin > last:
+                continue
+            cand = center_idx[begin: last + 1]
+            res, f1 = self.backend.classify(int(center_idx[i]), cand)
+            best_val = _DBL_MIN
+            best_j = 0
+            for off in range(cand.shape[0]):
+                if res[off] and f1[off] > best_val:
+                    best_val = f1[off]
+                    best_j = begin + off
+            targets[i] = best_j
+        for i in range(n):
+            ret = int(targets[i])
+            if ret > i:
+                centers[ret].members.extend(centers[i].members)
+                centers[i].deleted = True
+        kept = [c for c in centers if not c.deleted]
+        centers[:] = kept
+
+    def run(self, bv: BVec) -> List[Center]:
+        centers = self.accumulate_all(bv)
+        log(f"Accumulated {len(centers)} initial centers")
+        prog = Progress(self.iterations, "Update")
+        for _ in range(self.iterations):
+            self.update_once(centers)
+            self.merge_once(centers)
+            prog += 1
+        prog.end()
+        return centers

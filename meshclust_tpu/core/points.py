@@ -1,0 +1,79 @@
+"""PointSet: the dense array-of-structs replacement for Point/DivergencePoint.
+
+Reference: Point.h / DivergencePoint.{h,cpp} (SURVEY C6). One object per
+sequence becomes column arrays over all sequences:
+  hist [N, 4^k] int  (pseudo-counted k-mer histogram; ref `points` vector)
+  mag  [N] int64     (pseudo-magnitude = sum of counts)
+  sq   [N] int64     (sum of squared counts — powers the derived statistics)
+  lengths [N] int64  (nucleotide length incl. Ns; ref get_length())
+  one_mers [N, 4]
+  headers  list[str] (full '>'-lines)
+  codes    list[np.uint8 arrays] (digit codes + literal 'N's; ref data_str)
+ids are assigned in FASTA order AFTER training (Runner.cpp:346-349) and equal
+the row index here from the start — the reference's late assignment only
+matters for its align-cache keys, which we key by row index throughout.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from meshclust_tpu.io import fasta as fio
+from meshclust_tpu.ops import histogram as H
+from meshclust_tpu.ops import features as F
+
+
+@dataclasses.dataclass
+class PointSet:
+    hist: np.ndarray
+    mag: np.ndarray
+    sq: np.ndarray
+    lengths: np.ndarray
+    one_mers: np.ndarray
+    headers: List[str]
+    codes: List[np.ndarray]
+    k: int
+    V: int
+
+    @property
+    def n(self) -> int:
+        return int(self.hist.shape[0])
+
+    def distance(self, i: int, j: int) -> int:
+        """DivergencePoint::distance (uint64-truncated), used by the trainer's
+        pivot sorts (DivergencePoint.cpp:68-81)."""
+        dist = 2 * int(np.minimum(self.hist[i], self.hist[j])
+                       .astype(np.int64).sum())
+        mag = int(self.mag[i] + self.mag[j])
+        frac = float(dist) / float(mag)
+        return int(10000.0 * (1.0 - frac * frac))
+
+    def distance_row(self, i: int) -> np.ndarray:
+        """distance(i, :) vectorized (float64 frac, truncated to int)."""
+        dist = 2 * np.minimum(self.hist[i][None, :], self.hist)\
+            .astype(np.int64).sum(axis=1)
+        mag = (self.mag[i] + self.mag).astype(np.float64)
+        frac = dist.astype(np.float64) / mag
+        return (10000.0 * (1.0 - frac * frac)).astype(np.uint64)
+
+
+def build_points(seqs: List[fio.Sequence], k: int,
+                 use_pallas: bool = True) -> PointSet:
+    """Featurize all sequences (ref ClusterFactory::build_points +
+    get_divergence_point)."""
+    feats = H.featurize(seqs, k, use_pallas=use_pallas)
+    hist = feats["hist"]
+    st = F.seq_stats(hist)
+    return PointSet(
+        hist=hist,
+        mag=st["mag"],
+        sq=st["sq"],
+        lengths=feats["lengths"],
+        one_mers=feats["one_mers"],
+        headers=[s.header for s in seqs],
+        codes=[s.codes for s in seqs],
+        k=k,
+        V=feats["V"],
+    )

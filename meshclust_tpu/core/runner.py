@@ -1,0 +1,89 @@
+"""Run orchestration (Runner re-design, SURVEY C2).
+
+Pipeline (Runner.cpp:25-90, 321-375): input collection (basename-sorted),
+auto-k, featurization, dtype scan, training, bvec fill, mean-shift, CLSTR.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from meshclust_tpu.config import ClusterConfig
+from meshclust_tpu.core import classify as C
+from meshclust_tpu.core.bvec import BVec
+from meshclust_tpu.core.meanshift import MeanShift
+from meshclust_tpu.core.points import PointSet, build_points
+from meshclust_tpu.core.trainer import Trainer
+from meshclust_tpu.errors import FileDoesNotExistError
+from meshclust_tpu.io import fasta as fio
+from meshclust_tpu.io.clstr import write_clstr
+from meshclust_tpu.ops import align as A
+from meshclust_tpu.ops import histogram as H
+from meshclust_tpu.utils.log import log
+
+
+def sort_files(files: List[str]) -> List[str]:
+    """Inputs sorted by basename (Runner.cpp:253-262)."""
+    return sorted(files, key=lambda p: os.path.basename(p))
+
+
+def run(cfg: ClusterConfig) -> dict:
+    cfg = cfg.finalize()
+    files = sort_files(list(cfg.files))
+    if not files:
+        raise FileDoesNotExistError("no input files")
+    for f in files:
+        if not os.path.isfile(f):
+            raise FileDoesNotExistError(f'File "{f}" does not exist')
+
+    log("Reading in sequences")
+    per_file = [fio.read_fasta(f) for f in files]
+    seqs = [s for fs in per_file for s in fs]
+    if not seqs:
+        raise FileDoesNotExistError("no sequences found")
+
+    k = cfg.kmer if cfg.kmer is not None else H.find_k(per_file)
+    k = max(1, k)
+    log(f"Using k = {k}")
+
+    log(f"Counting {k}-mers")
+    ps = build_points(seqs, k, use_pallas=cfg.use_pallas)
+    largest_count = int(ps.hist.max())
+    bits = int(np.dtype(H.storage_dtype(largest_count)).itemsize * 8)
+    log(f"Using {bits} bit histograms")
+
+    trainer = Trainer(
+        ps, n_points=cfg.sample_size, cutoff=cfg.similarity,
+        max_pts_from_one=cfg.pivots, k=0 if cfg.align else k)
+    model = trainer.train(cfg.acc_cutoff)
+
+    params = model.params
+
+    def align_fn(center: int, idxs: np.ndarray) -> np.ndarray:
+        return A.align_identity_batch(
+            [(ps.codes[center], ps.codes[int(j)]) for j in idxs],
+            match=cfg.match, mismatch=cfg.mismatch, go=cfg.gap_open,
+            gc=cfg.gap_continue)
+
+    backend = C.make_backend(ps, params, align_fn=align_fn, exact=cfg.exact)
+
+    bv = BVec(ps.lengths.copy(), cfg.bin_size)
+    for idx in range(ps.n):
+        bv.insert(idx, int(ps.lengths[idx]))
+    bv.insert_finalize()
+
+    ms = MeanShift(ps, backend, sim=cfg.similarity, delta=cfg.delta,
+                   iterations=cfg.iterations)
+    centers = ms.run(bv)
+
+    log("Printing output")
+    write_clstr(cfg.output, centers, ps.headers, ps.lengths)
+    return {
+        "centers": centers,
+        "pointset": ps,
+        "model": model,
+        "k": k,
+        "n_clusters": sum(1 for c in centers if c.members),
+    }
