@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Headline benchmark: sequences/s clustering a synthetic read set at
+--id 0.90 (the BASELINE.json metric family).
+
+Prints ONE JSON line:
+  {"metric": "sequences_per_second", "value": N, "unit": "seq/s",
+   "vs_baseline": R}
+
+vs_baseline = our seq/s divided by the reference binary's seq/s measured on
+THIS machine (built via tests/golden/harness). If the reference can't be
+built, falls back to the NAR-published 15k/--id 0.90 rate (15000 / 4.28 s,
+Tables/Real.csv:12 — different 2018 hardware; clearly a weaker baseline).
+
+Env knobs: BENCH_N (default 15000), BENCH_LEN (default 1000),
+BENCH_SKIP_REF=1 to skip timing the reference.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N = int(os.environ.get("BENCH_N", "15000"))
+LEN = int(os.environ.get("BENCH_LEN", "1000"))
+SPECIES = max(10, N // 100)
+FASTA = f"/tmp/meshclust_bench_{N}_{LEN}.fasta"
+REF_SECONDS_FILE = f"/tmp/meshclust_bench_ref_{N}_{LEN}.txt"
+PUBLISHED_RATE = 15000 / 4.28   # Tables/Real.csv:12 (authors' 2018 CPU)
+
+
+def make_dataset() -> str:
+    if os.path.exists(FASTA):
+        return FASTA
+    rng = np.random.default_rng(42)
+    bases = "ACGT"
+    per = N // SPECIES
+    with open(FASTA + ".tmp", "w") as f:
+        for s in range(SPECIES):
+            L = LEN + int(rng.integers(-LEN // 10, LEN // 10))
+            base = rng.integers(0, 4, size=L)
+            for c in range(per):
+                seq = base.copy()
+                nmut = int(0.03 * L)
+                pos = rng.integers(0, L, size=nmut)
+                seq[pos] = (seq[pos] + 1 + rng.integers(0, 3, size=nmut)) % 4
+                f.write(f">sp{s}_c{c}\n")
+                f.write("".join(bases[x] for x in seq) + "\n")
+    os.replace(FASTA + ".tmp", FASTA)
+    return FASTA
+
+
+def time_reference(path: str) -> float | None:
+    """Reference binary seq/s on this machine (cached)."""
+    if os.environ.get("BENCH_SKIP_REF") == "1":
+        return None
+    if os.path.exists(REF_SECONDS_FILE):
+        return float(open(REF_SECONDS_FILE).read())
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.golden.harness import run_reference
+        t0 = time.time()
+        run_reference(path, "/tmp/bench_ref.clstr", similarity=0.90,
+                      timeout=3600)
+        dt = time.time() - t0
+        with open(REF_SECONDS_FILE, "w") as f:
+            f.write(str(dt))
+        return dt
+    except Exception:
+        return None
+
+
+def main() -> None:
+    path = make_dataset()
+
+    from meshclust_tpu.config import ClusterConfig
+    from meshclust_tpu.core.runner import run
+
+    out = "/tmp/bench_ours.clstr"
+    t0 = time.time()
+    run(ClusterConfig(files=[path], similarity=0.90, output=out))
+    ours_s = time.time() - t0
+    ours_rate = N / ours_s
+
+    ref_s = time_reference(path)
+    if ref_s is not None:
+        base_rate = N / ref_s
+    else:
+        base_rate = PUBLISHED_RATE
+
+    print(json.dumps({
+        "metric": "sequences_per_second",
+        "value": round(ours_rate, 2),
+        "unit": "seq/s",
+        "vs_baseline": round(ours_rate / base_rate, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
