@@ -166,27 +166,15 @@ class DeviceBackend:
         self.weights = jnp.asarray(params.weights, jnp.float32)
         self.singles = tuple(params.singles)
         self.combos = tuple((c, tuple(ix)) for c, ix in params.combos)
-        self._fn = self._build()
+        self._fn, self._pair_fn = self._build()
 
     def _build(self):
         V = self.ps.V
         singles = self.singles
         combos = self.combos
 
-        @jax.jit
-        def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
-                center, window):
-            h_c = hist[center]                     # [V]
-            h_w = hist[window]                     # [W, V]
-            man = jnp.sum(jnp.abs(h_w - h_c[None, :]), axis=1)
-            dot = h_w @ h_c
-            mag_a = mag[center]
-            mag_b = mag[window]
-            sq_a = sq[center]
-            sq_b = sq[window]
-            len_a = lens[center]
-            len_b = lens[window]
-
+        def score_rows(man, dot, mag_a, mag_b, sq_a, sq_b, len_a, len_b,
+                       mins, maxs, is_sim, weights):
             cols = []
             for flag in singles:
                 if flag == F.FEAT_LD:
@@ -214,22 +202,44 @@ class DeviceBackend:
                 else:
                     raise AssertionError(flag)
                 cols.append(v)
-            cache = jnp.stack(cols, axis=-1)       # [W, S]
+            cache = jnp.stack(cols, axis=-1)
             norm = (cache - mins) / (maxs - mins)
             norm = jnp.where(is_sim, norm, 1.0 - norm)
-            score = jnp.full(window.shape[0], weights[0])
+            score = jnp.full(cache.shape[:-1], weights[0])
             f1 = None
             for j, (combo, idx) in enumerate(combos):
-                prod = jnp.ones(window.shape[0], jnp.float32)
+                prod = jnp.ones(cache.shape[:-1], jnp.float32)
                 for i in idx:
-                    c = norm[:, i]
+                    c = norm[..., i]
                     prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
                 if j == 0:
                     f1 = prod
                 score = score + weights[j + 1] * prod
             return score >= 0.0, f1
 
-        return run
+        @jax.jit
+        def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
+                center, window):
+            h_c = hist[center]                     # [V]
+            h_w = hist[window]                     # [W, V]
+            man = jnp.sum(jnp.abs(h_w - h_c[None, :]), axis=1)
+            dot = h_w @ h_c
+            return score_rows(man, dot, mag[center], mag[window],
+                              sq[center], sq[window], lens[center],
+                              lens[window], mins, maxs, is_sim, weights)
+
+        @jax.jit
+        def run_pairs(hist, mag, sq, lens, mins, maxs, is_sim, weights,
+                      a_idx, b_idx):
+            h_a = hist[a_idx]
+            h_b = hist[b_idx]
+            man = jnp.sum(jnp.abs(h_a - h_b), axis=1)
+            dot = jnp.sum(h_a * h_b, axis=1)
+            return score_rows(man, dot, mag[a_idx], mag[b_idx],
+                              sq[a_idx], sq[b_idx], lens[a_idx],
+                              lens[b_idx], mins, maxs, is_sim, weights)
+
+        return run, run_pairs
 
     def classify(self, center: int, window: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -244,6 +254,160 @@ class DeviceBackend:
                            self.weights, jnp.int32(center),
                            jnp.asarray(padded))
         return np.asarray(res)[:W], np.asarray(f1, np.float64)[:W]
+
+    # -- banded mean-shift update (one device call per iteration) ----------
+    def _build_update(self, Cp: int, delta: int):
+        V = self.ps.V
+        singles = self.singles
+        combos = self.combos
+        INF = jnp.float32(np.inf)
+
+        def classify_rows(h_m, h_c, mag_m, mag_c, sq_m, sq_c, len_m, len_c,
+                          mins, maxs, is_sim, weights):
+            man = jnp.sum(jnp.abs(h_m - h_c), axis=-1)
+            dot = jnp.sum(h_m * h_c, axis=-1)
+            cols = []
+            for flag in singles:
+                if flag == F.FEAT_LD:
+                    v = jnp.abs(len_m - len_c)
+                elif flag == F.FEAT_MANHATTAN:
+                    v = man
+                elif flag == F.FEAT_INTERSECTION:
+                    v = (mag_m + mag_c - man) / (mag_m + mag_c)
+                elif flag == F.FEAT_KULCZYNSKI2:
+                    ap = mag_m / V
+                    aq = mag_c / V
+                    v = (V * (ap + aq) / (2.0 * ap * aq)
+                         * (mag_m + mag_c - man) * 0.5)
+                elif flag == F.FEAT_SIMRATIO:
+                    norm2 = jnp.maximum(sq_m + sq_c - 2.0 * dot, 0.0)
+                    v = dot / (dot + jnp.sqrt(norm2))
+                elif flag == F.FEAT_PEARSON:
+                    ap = jnp.round(mag_m / V)
+                    aq = jnp.round(mag_c / V)
+                    np_ = sq_m - 2.0 * ap * mag_m + V * ap * ap
+                    nq_ = sq_c - 2.0 * aq * mag_c + V * aq * aq
+                    dotc = dot - ap * mag_c - aq * mag_m + V * ap * aq
+                    v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
+                else:
+                    raise AssertionError(flag)
+                cols.append(v)
+            cache = jnp.stack(cols, axis=-1)
+            norm = (cache - mins) / (maxs - mins)
+            norm = jnp.where(is_sim, norm, 1.0 - norm)
+            score = jnp.full(cache.shape[:-1], weights[0])
+            for j, (combo, idx) in enumerate(combos):
+                prod = jnp.ones(cache.shape[:-1], jnp.float32)
+                for i in idx:
+                    c = norm[..., i]
+                    prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
+                score = score + weights[j + 1] * prod
+            return score >= 0.0
+
+        @jax.jit
+        def update(hist, mag, sq, lens, mins, maxs, is_sim, weights,
+                   m_idx, m_assign, c_idx, c_valid):
+            """m_idx [M] point rows in pool order; m_assign [M] center ids;
+            c_idx [Cp] center point rows (padded); c_valid [Cp] bool.
+            Returns (winner_pos [Cp] int32 — pool position of the new center
+            or M (none), counts [Cp])."""
+            M = m_idx.shape[0]
+            h_m = hist[m_idx]                         # [M, V]
+            mag_m = mag[m_idx]
+            sq_m = sq[m_idx]
+            len_m = lens[m_idx]
+            pos_list = []
+            sums = jnp.zeros((Cp, V), jnp.float32)
+            counts = jnp.zeros((Cp,), jnp.float32)
+            for o in range(-delta, delta + 1):
+                j = m_assign + o
+                ok = (j >= 0) & (j < Cp)
+                jc = jnp.clip(j, 0, Cp - 1)
+                pos = classify_rows(
+                    h_m, hist[c_idx[jc]], mag_m, mag[c_idx[jc]],
+                    sq_m, sq[c_idx[jc]], len_m, lens[c_idx[jc]],
+                    mins, maxs, is_sim, weights) & ok & c_valid[jc]
+                pos_list.append(pos)
+                w = pos.astype(jnp.float32)
+                sums = sums + jax.ops.segment_sum(
+                    h_m * w[:, None], jc, num_segments=Cp)
+                counts = counts + jax.ops.segment_sum(
+                    w, jc, num_segments=Cp)
+            mean = sums / jnp.maximum(counts, 1.0)[:, None]
+
+            pool_pos = jnp.arange(M, dtype=jnp.float32)
+            best_d = jnp.full((Cp,), INF)
+            d_per_o = []
+            for oi, o in enumerate(range(-delta, delta + 1)):
+                j = m_assign + o
+                jc = jnp.clip(j, 0, Cp - 1)
+                cmean = mean[jc]
+                cw = jnp.floor(cmean)
+                dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
+                mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
+                frac = dist / jnp.maximum(mg, 1.0)
+                d = 10000.0 * (1.0 - frac * frac)
+                d = jnp.where(pos_list[oi], d, INF)
+                d_per_o.append(d)
+                best_d = jnp.minimum(
+                    best_d, jax.ops.segment_min(d, jc, num_segments=Cp))
+            best_pos = jnp.full((Cp,), jnp.float32(M))
+            for oi, o in enumerate(range(-delta, delta + 1)):
+                j = m_assign + o
+                jc = jnp.clip(j, 0, Cp - 1)
+                tie = (d_per_o[oi] == best_d[jc]) & pos_list[oi]
+                p = jnp.where(tie, pool_pos, jnp.float32(M))
+                best_pos = jnp.minimum(
+                    best_pos, jax.ops.segment_min(p, jc, num_segments=Cp))
+            return best_pos.astype(jnp.int32), counts
+
+        return update
+
+    def update_banded(self, members: np.ndarray, assign: np.ndarray,
+                      center_rows: np.ndarray, delta: int) -> np.ndarray:
+        """One full update sweep. members [M] point rows in pool order,
+        assign [M] center indices (sorted ascending), center_rows [C].
+        Returns new center point row per center (or -1 = unchanged)."""
+        C = center_rows.shape[0]
+        Cp = _pad_to_bucket(C)
+        c_idx = np.zeros(Cp, np.int32)
+        c_idx[:C] = center_rows
+        c_valid = np.zeros(Cp, bool)
+        c_valid[:C] = True
+        key = (Cp, delta)
+        if not hasattr(self, "_upd_cache"):
+            self._upd_cache = {}
+        if key not in self._upd_cache:
+            self._upd_cache[key] = self._build_update(Cp, delta)
+        fn = self._upd_cache[key]
+        best_pos, _ = fn(self.hist_dev, self.mag_dev, self.sq_dev,
+                         self.len_dev, self.mins, self.maxs, self.is_sim,
+                         self.weights, jnp.asarray(members.astype(np.int32)),
+                         jnp.asarray(assign.astype(np.int32)),
+                         jnp.asarray(c_idx), jnp.asarray(c_valid))
+        best_pos = np.asarray(best_pos)[:C]
+        out = np.full(C, -1, np.int64)
+        ok = best_pos < members.shape[0]
+        out[ok] = members[best_pos[ok]]
+        return out
+
+    def classify_pairs(self, a_idx: np.ndarray, b_idx: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched (a, b) pair classification — one device call for e.g. a
+        whole merge band (ref Trainer::merge window, batched)."""
+        P = a_idx.shape[0]
+        if P == 0:
+            return np.zeros(0, bool), np.zeros(0)
+        Pp = _pad_to_bucket(P)
+        ap = np.zeros(Pp, np.int32)
+        bp = np.zeros(Pp, np.int32)
+        ap[:P] = a_idx
+        bp[:P] = b_idx
+        res, f1 = self._pair_fn(
+            self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
+            self.mins, self.maxs, self.is_sim, self.weights,
+            jnp.asarray(ap), jnp.asarray(bp))
+        return np.asarray(res)[:P], np.asarray(f1, np.float64)[:P]
 
 
 def make_backend(ps: PointSet, params: F.FeatureParams,

@@ -111,6 +111,9 @@ class MeanShift:
     def update_once(self, centers: List[Center]) -> None:
         """One parallel mean_shift_update sweep (all centers read the same
         membership snapshot; each writes only its own center)."""
+        if hasattr(self.backend, "update_banded"):
+            self._update_once_banded(centers)
+            return
         ps = self.ps
         n = len(centers)
         new_centers = [c.center for c in centers]
@@ -133,6 +136,22 @@ class MeanShift:
         for j in range(n):
             centers[j].center = new_centers[j]
 
+    def _update_once_banded(self, centers: List[Center]) -> None:
+        """Device fast path: one banded call for the whole sweep."""
+        members: List[int] = []
+        assign: List[int] = []
+        for j, c in enumerate(centers):
+            members.extend(c.members)
+            assign.extend([j] * len(c.members))
+        if not members:
+            return
+        new_rows = self.backend.update_banded(
+            np.asarray(members, np.int64), np.asarray(assign, np.int64),
+            np.asarray([c.center for c in centers], np.int64), self.delta)
+        for j, c in enumerate(centers):
+            if new_rows[j] >= 0 and new_rows[j] != c.center:
+                c.center = int(new_rows[j])
+
     def merge_once(self, centers: List[Center]) -> None:
         """One merge sweep (ClusterFactory.cpp:427-493). All window
         classifications use pass-start centers; the member-move chain is
@@ -140,20 +159,38 @@ class MeanShift:
         n = len(centers)
         center_idx = np.asarray([c.center for c in centers], np.int64)
         targets = np.full(n, 0, np.int64)
-        for i in range(n):
-            begin = i + 1
-            last = min(n - 1, i + self.delta)
-            if begin > last:
-                continue
-            cand = center_idx[begin: last + 1]
-            res, f1 = self.backend.classify(int(center_idx[i]), cand)
-            best_val = _DBL_MIN
-            best_j = 0
-            for off in range(cand.shape[0]):
-                if res[off] and f1[off] > best_val:
-                    best_val = f1[off]
-                    best_j = begin + off
-            targets[i] = best_j
+        if hasattr(self.backend, "classify_pairs") and n > 1:
+            a_list, b_list, owner, offs = [], [], [], []
+            for i in range(n):
+                last = min(n - 1, i + self.delta)
+                for j in range(i + 1, last + 1):
+                    a_list.append(center_idx[j])   # ref: compute(cand, p)
+                    b_list.append(center_idx[i])
+                    owner.append(i)
+                    offs.append(j)
+            res, f1 = self.backend.classify_pairs(
+                np.asarray(a_list, np.int64), np.asarray(b_list, np.int64))
+            best_val = np.full(n, _DBL_MIN)
+            for t in range(len(owner)):
+                i = owner[t]
+                if res[t] and f1[t] > best_val[i]:
+                    best_val[i] = f1[t]
+                    targets[i] = offs[t]
+        else:
+            for i in range(n):
+                begin = i + 1
+                last = min(n - 1, i + self.delta)
+                if begin > last:
+                    continue
+                cand = center_idx[begin: last + 1]
+                res, f1 = self.backend.classify(int(center_idx[i]), cand)
+                best_val = _DBL_MIN
+                best_j = 0
+                for off in range(cand.shape[0]):
+                    if res[off] and f1[off] > best_val:
+                        best_val = f1[off]
+                        best_j = begin + off
+                targets[i] = best_j
         for i in range(n):
             ret = int(targets[i])
             if ret > i:

@@ -90,8 +90,8 @@ def _hist_mxu_kernel(ids_ref, valid_ref, out_ref, *, tb: int, V1: int,
     for b in range(tb):  # static unroll over the row tile
         ids_row = ids_ref[0, b:b + 1, :]         # [1, L]
         val_row = valid_ref[0, b:b + 1, :]       # [1, L]
-        hi = jax.lax.div(ids_row, V2)
-        lo = jax.lax.rem(ids_row, V2)
+        hi = jax.lax.div(ids_row, jnp.int32(V2))
+        lo = jax.lax.rem(ids_row, jnp.int32(V2))
         oh_hi = (iota_v1 == hi).astype(jnp.float32) * val_row   # [V1, L]
         oh_lo = (iota_v2 == lo).astype(jnp.float32)             # [V2, L]
         cnt = jax.lax.dot_general(
@@ -141,6 +141,7 @@ def histogram_pallas(codes: jnp.ndarray, valid: jnp.ndarray, k: int,
     return counts + jnp.int32(init)
 
 
+@jax.jit
 def one_mer_counts(codes: jnp.ndarray, in_seg: jnp.ndarray) -> jnp.ndarray:
     """1-mer counts [B, 4] (init 0), ref get_divergence_point's second table
     (ClusterFactory.cpp:996,1001). Counted over in-segment positions."""
@@ -149,6 +150,19 @@ def one_mer_counts(codes: jnp.ndarray, in_seg: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(
         [jnp.sum((c == i) * m, axis=1) for i in range(4)], axis=1
     )
+
+
+@functools.partial(jax.jit, static_argnames=("k", "init", "pallas"))
+def featurize_batch_device(codes, valid, inseg, k: int, init: int = 1,
+                           pallas: bool = True):
+    """One fused device call per bucket: histogram + 1-mers + mag."""
+    if pallas:
+        counts = histogram_pallas(codes, valid, k, init=init)
+    else:
+        counts = histogram_xla(codes, valid, k, init=init)
+    ones = one_mer_counts(codes, inseg)
+    mag = jnp.sum(counts.astype(jnp.int64), axis=1)
+    return counts, ones, mag
 
 
 # ---------------------------------------------------------------------------
@@ -205,17 +219,25 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
     hist = np.zeros((N, V), np.int32)
     k1 = np.zeros((N, 4), np.int64)
     on_tpu = jax.default_backend() == "tpu"
-    fn = histogram_pallas if (use_pallas and on_tpu) else (
-        lambda c, v, k, init: histogram_xla(c, v, k, init))
+    pallas = bool(use_pallas and on_tpu)
     for bucket in length_buckets(lengths):
-        sub = [seqs[i] for i in bucket]
-        codes, valid, inseg = pad_batch(sub, k)
-        counts = np.asarray(fn(jnp.asarray(codes), jnp.asarray(valid), k,
-                               init))
-        ones = np.asarray(one_mer_counts(jnp.asarray(codes),
-                                         jnp.asarray(inseg)))
-        hist[np.asarray(bucket)] = counts
-        k1[np.asarray(bucket)] = ones
+        # fixed row-chunking so each (rows, Lpad) shape compiles once
+        for s0 in range(0, len(bucket), 4096):
+            chunk = bucket[s0: s0 + 4096]
+            sub = [seqs[i] for i in chunk]
+            codes, valid, inseg = pad_batch(sub, k)
+            rows = codes.shape[0]
+            rp = 256 if rows <= 256 else round_up(rows, 2048)
+            if rp != rows:
+                pad = ((0, rp - rows), (0, 0))
+                codes = np.pad(codes, pad)
+                valid = np.pad(valid, pad)
+                inseg = np.pad(inseg, pad)
+            counts, ones, _ = featurize_batch_device(
+                jnp.asarray(codes), jnp.asarray(valid), jnp.asarray(inseg),
+                k, init, pallas)
+            hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
+            k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
     mag = hist.astype(np.int64).sum(axis=1)
     return {
         "hist": hist,
