@@ -1,8 +1,8 @@
 """Length-binned candidate store — faithful emulation of bvec<T>.
 
 Reference: bvec.{h,cpp} + bvec_iterator (SURVEY C7/C8). This is pure host
-bookkeeping (index lists); the heavy numeric work happens on static device
-arrays addressed through the flattened finalized order (see core/meanshift).
+bookkeeping (numpy index arrays per bin); the heavy numeric work happens on
+static device arrays (see core/meanshift).
 
 Faithfully reproduced quirks:
 - one bin per `bin_size` sorted lengths; bin lower bounds from the sorted
@@ -30,10 +30,11 @@ class BVec:
             int(lengths[i]) for i in range(0, lengths.shape[0], bin_size)
         ]
         nb = len(self.begin_bounds)
-        # per-bin parallel lists: point index, length, marked flag
-        self.idx: List[List[int]] = [[] for _ in range(nb)]
-        self.lens: List[List[int]] = [[] for _ in range(nb)]
-        self.marked: List[List[bool]] = [[] for _ in range(nb)]
+        # build phase: python lists; after insert_finalize: numpy arrays
+        self.idx: List = [[] for _ in range(nb)]
+        self.lens: List = [[] for _ in range(nb)]
+        self.marked: List = [None] * nb
+        self._final = False
 
     # -- construction ------------------------------------------------------
     def insert(self, point_idx: int, length: int) -> None:
@@ -44,15 +45,15 @@ class BVec:
         target = min_bins[len(min_bins) // 2]
         self.idx[target].append(point_idx)
         self.lens[target].append(int(length))
-        self.marked[target].append(False)
 
     def insert_finalize(self) -> None:
         for b in range(len(self.idx)):
-            order = np.argsort(np.asarray(self.lens[b], np.int64),
-                               kind="stable")
-            self.idx[b] = [self.idx[b][i] for i in order]
-            self.lens[b] = [self.lens[b][i] for i in order]
-            self.marked[b] = [False] * len(self.idx[b])
+            lens = np.asarray(self.lens[b], np.int64)
+            order = np.argsort(lens, kind="stable")
+            self.idx[b] = np.asarray(self.idx[b], np.int64)[order]
+            self.lens[b] = lens[order]
+            self.marked[b] = np.zeros(len(order), bool)
+        self._final = True
 
     # -- queries -----------------------------------------------------------
     def _index_of(self, length: int) -> Tuple[int, int]:
@@ -80,11 +81,11 @@ class BVec:
         if data_len == 0:
             if want_front:
                 for i in range(len(self.idx)):
-                    if self.idx[i]:
+                    if len(self.idx[i]):
                         return i, 0
             if want_back:
                 for i in range(len(self.idx) - 1, -1, -1):
-                    if self.idx[i]:
+                    if len(self.idx[i]):
                         return i, 0
             return idx, 0
         lens = self.lens[idx]
@@ -128,7 +129,7 @@ class BVec:
     def get_range(self, begin_len: int, end_len: int):
         """-> ((bin, inner), (bin, inner)), INCLUSIVE bounds
         (bvec.cpp:246-278)."""
-        front_bin, _ = self._index_of(begin_len)[0], None
+        front_bin = self._index_of(begin_len)[0]
         back_bin = self._index_of(end_len)[1]
         fb, fi = self._inner_index_of(begin_len, front_bin, True, False)
         bb_, bi = self._inner_index_of(end_len, back_bin, False, True)
@@ -137,36 +138,76 @@ class BVec:
     def iter_range(self, front, back):
         """Yield (bin, inner) positions from front to back inclusive, with
         bvec_iterator's skip-empty-bin semantics (bvec_iterator.cpp)."""
+        for b, c0, c1 in self.window_spans(front, back):
+            for c in range(c0, c1):
+                yield (b, c)
+
+    def window_spans(self, front, back):
+        """The inclusive window as [(bin, c0, c1)] spans."""
         r, c = front
         br, bc = back
         nb = len(self.idx)
-        # normalize start on an empty bin like operator++ would never yield
+        spans = []
         while r < nb and (r < br or (r == br and c <= bc)):
-            if c < len(self.idx[r]):
-                yield (r, c)
-                c += 1
-            else:
+            size = len(self.idx[r])
+            if c >= size:
                 r += 1
                 c = 0
-                while r < nb and not self.idx[r]:
-                    r += 1
-        return
+                continue
+            c1 = min((bc + 1) if r == br else size, size)
+            if c1 > c:
+                spans.append((r, c, c1))
+            if r == br:
+                break
+            r += 1
+            c = 0
+        return spans
+
+    def window(self, front, back):
+        """(flat point-index array, spans) for the inclusive range."""
+        spans = self.window_spans(front, back)
+        if spans:
+            flat = np.concatenate(
+                [self.idx[b][c0:c1] for b, c0, c1 in spans])
+        else:
+            flat = np.zeros(0, np.int64)
+        return flat, spans
+
+    def apply_marks(self, spans, marks: np.ndarray) -> None:
+        """Set marked flags for a window given flat marks (window order)."""
+        off = 0
+        for b, c0, c1 in spans:
+            n = c1 - c0
+            self.marked[b][c0:c1] |= marks[off: off + n]
+            off += n
+
+    def flat_to_position(self, spans, flat_pos: int):
+        """Map a flat window position back to (bin, inner)."""
+        off = 0
+        for b, c0, c1 in spans:
+            n = c1 - c0
+            if flat_pos < off + n:
+                return b, c0 + (flat_pos - off)
+            off += n
+        raise IndexError(flat_pos)
 
     # -- mutation ----------------------------------------------------------
     def pop(self) -> Optional[int]:
         for b in range(len(self.idx)):
-            if self.idx[b]:
-                p = self.idx[b][0]
-                del self.idx[b][0]
-                del self.lens[b][0]
-                del self.marked[b][0]
+            if len(self.idx[b]):
+                p = int(self.idx[b][0])
+                self.idx[b] = self.idx[b][1:]
+                self.lens[b] = self.lens[b][1:]
+                self.marked[b] = self.marked[b][1:]
                 return p
         return None
 
     def erase(self, r: int, c: int) -> None:
-        del self.idx[r][c]
-        del self.lens[r][c]
-        del self.marked[r][c]
+        keep = np.ones(len(self.idx[r]), bool)
+        keep[c] = False
+        self.idx[r] = self.idx[r][keep]
+        self.lens[r] = self.lens[r][keep]
+        self.marked[r] = self.marked[r][keep]
 
     def mark(self, r: int, c: int) -> None:
         self.marked[r][c] = True
@@ -178,21 +219,17 @@ class BVec:
         a, b = front[0], back[0]
         out: List[int] = []
         for i in range(a, min(b, len(self.idx) - 1) + 1):
-            keep_idx, keep_len, keep_m = [], [], []
-            for j in range(len(self.idx[i])):
-                if self.marked[i][j]:
-                    out.append(self.idx[i][j])
-                else:
-                    keep_idx.append(self.idx[i][j])
-                    keep_len.append(self.lens[i][j])
-                    keep_m.append(False)
-            self.idx[i] = keep_idx
-            self.lens[i] = keep_len
-            self.marked[i] = keep_m
+            m = self.marked[i]
+            if m.any():
+                out.extend(self.idx[i][m].tolist())
+                keep = ~m
+                self.idx[i] = self.idx[i][keep]
+                self.lens[i] = self.lens[i][keep]
+                self.marked[i] = self.marked[i][keep]
         return out
 
     def size(self) -> int:
         return sum(len(b) for b in self.idx)
 
     def empty(self) -> bool:
-        return all(not b for b in self.idx)
+        return all(len(b) == 0 for b in self.idx)

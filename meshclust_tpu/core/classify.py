@@ -156,17 +156,18 @@ class DeviceBackend:
                 raise ValueError(f"single {s} not supported on device")
         self.ps = ps
         self.params = params
-        self.hist_dev = jnp.asarray(ps.hist, jnp.float32)
-        self.mag_dev = jnp.asarray(ps.mag, jnp.float32)
-        self.sq_dev = jnp.asarray(ps.sq, jnp.float32)
-        self.len_dev = jnp.asarray(ps.lengths, jnp.float32)
+        dev = ps.device_arrays()
+        self.hist_dev = dev["hist"]
+        self.mag_dev = dev["mag"]
+        self.sq_dev = dev["sq"]
+        self.len_dev = dev["len"]
         self.mins = jnp.asarray(params.mins, jnp.float32)
         self.maxs = jnp.asarray(params.maxs, jnp.float32)
         self.is_sim = jnp.asarray(params.is_sim)
         self.weights = jnp.asarray(params.weights, jnp.float32)
         self.singles = tuple(params.singles)
         self.combos = tuple((c, tuple(ix)) for c, ix in params.combos)
-        self._fn, self._pair_fn = self._build()
+        self._fn, self._pair_fn, self._close_fn = self._build()
 
     def _build(self):
         V = self.ps.V
@@ -239,7 +240,24 @@ class DeviceBackend:
                               sq[a_idx], sq[b_idx], lens[a_idx],
                               lens[b_idx], mins, maxs, is_sim, weights)
 
-        return run, run_pairs
+        @jax.jit
+        def run_close(hist, mag, sq, lens, mins, maxs, is_sim, weights,
+                      center, window, wvalid):
+            """Fused get_close: ONE output array [Wpad + 2] int32:
+            [:Wpad] marks (1 = classifier positive), [Wpad] = is_min,
+            [Wpad+1] = argmax-f1 position (first max among valid)."""
+            res, f1 = run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
+                          center, window)
+            res = res & wvalid
+            f1m = jnp.where(wvalid, f1, -jnp.inf)
+            best = jnp.argmax(f1m)  # first occurrence on ties
+            is_min = ~jnp.any(res)
+            return jnp.concatenate([
+                res.astype(jnp.int32),
+                jnp.stack([is_min.astype(jnp.int32), best.astype(jnp.int32)]),
+            ])
+
+        return run, run_pairs, run_close
 
     def classify(self, center: int, window: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -254,6 +272,27 @@ class DeviceBackend:
                            self.weights, jnp.int32(center),
                            jnp.asarray(padded))
         return np.asarray(res)[:W], np.asarray(f1, np.float64)[:W]
+
+    def get_close(self, center: int, window: np.ndarray
+                  ) -> Tuple[np.ndarray, bool, int]:
+        """Fused accumulate step: (marks bool [W], is_min, best_pos).
+        One device call + one readback (ref Trainer::get_close)."""
+        W = window.shape[0]
+        if W == 0:
+            return np.zeros(0, bool), True, -1
+        Wp = _pad_to_bucket(W)
+        padded = np.zeros(Wp, np.int32)
+        padded[:W] = window
+        wvalid = np.zeros(Wp, bool)
+        wvalid[:W] = True
+        out = np.asarray(self._close_fn(
+            self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
+            self.mins, self.maxs, self.is_sim, self.weights,
+            jnp.int32(center), jnp.asarray(padded), jnp.asarray(wvalid)))
+        marks = out[:W] != 0
+        is_min = bool(out[Wp] != 0)
+        best = int(out[Wp + 1])
+        return marks, is_min, (best if best < W else -1)
 
     # -- banded mean-shift update (one device call per iteration) ----------
     def _build_update(self, Cp: int, delta: int):

@@ -82,26 +82,25 @@ class MeanShift:
             lo = int(length * self.sim)
             hi = int(length / self.sim)
             front, back = bv.get_range(lo, hi)
-            positions = list(bv.iter_range(front, back))
-            window = np.asarray(
-                [bv.idx[r][c] for r, c in positions], np.int64)
-            res, f1 = self.backend.classify(last, window)
-            is_min = not bool(res.any())
+            window, spans = bv.window(front, back)
+            if hasattr(self.backend, "get_close"):
+                marks, is_min, best = self.backend.get_close(last, window)
+            else:
+                marks, f1 = self.backend.classify(last, window)
+                is_min = not bool(marks.any())
+                best = int(np.argmax(f1)) if window.shape[0] else -1
             if not is_min:
-                for (r, c), hit in zip(positions, res):
-                    if hit:
-                        bv.mark(r, c)
+                bv.apply_marks(spans, marks)
                 harvested = bv.remove_available(front, back)
                 current.extend(harvested)
                 last = mean_select(ps, np.asarray(current, np.int64))
             else:
-                if window.shape[0] == 0:
+                if best < 0:
                     next_seed = bv.pop()
                 else:
                     # next center seed = max-f1 candidate (first max), like
                     # Trainer::get_close's pmax reduction (Trainer.cpp:99)
-                    best = int(np.argmax(f1))
-                    r, c = positions[best]
+                    r, c = bv.flat_to_position(spans, best)
                     next_seed = int(window[best])
                     bv.erase(r, c)
                 centers.append(Center(last, current))

@@ -58,6 +58,44 @@ class PointSet:
         frac = dist.astype(np.float64) / mag
         return (10000.0 * (1.0 - frac * frac)).astype(np.uint64)
 
+    # -- cached device copies (shared by trainer + classify backends) ------
+    def device_arrays(self) -> dict:
+        import jax.numpy as jnp
+        if not hasattr(self, "_dev"):
+            self._dev = {
+                "hist": jnp.asarray(self.hist, jnp.float32),
+                "mag": jnp.asarray(self.mag, jnp.float32),
+                "sq": jnp.asarray(self.sq, jnp.float32),
+                "len": jnp.asarray(self.lengths, jnp.float32),
+            }
+        return self._dev
+
+    def distance_rows_device(self, rows: np.ndarray) -> np.ndarray:
+        """DivergencePoint::distance for [P] pivots vs all points, on
+        device (f32; truncation boundary flips fall under tie-breaking)."""
+        import jax
+        import jax.numpy as jnp
+
+        if not hasattr(self, "_distfn"):
+            @jax.jit
+            def distfn(hist, mag, rows):
+                h = hist[rows]                               # [P, V]
+                man = jnp.sum(jnp.abs(h[:, None, :] - hist[None, :, :]),
+                              axis=-1)                       # [P, N]
+                msum = mag[rows][:, None] + mag[None, :]
+                frac = (msum - man) / msum                   # 2*min_sum/msum
+                return jnp.floor(10000.0 * (1.0 - frac * frac))
+
+            self._distfn = distfn
+        dev = self.device_arrays()
+        out = np.zeros((rows.shape[0], self.n), np.int64)
+        for s in range(0, rows.shape[0], 64):
+            chunk = rows[s: s + 64]
+            out[s: s + 64] = np.asarray(self._distfn(
+                dev["hist"], dev["mag"],
+                jnp.asarray(chunk.astype(np.int32)))).astype(np.int64)
+        return out
+
 
 def build_points(seqs: List[fio.Sequence], k: int,
                  use_pallas: bool = True) -> PointSet:

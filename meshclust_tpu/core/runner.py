@@ -56,7 +56,8 @@ def run(cfg: ClusterConfig) -> dict:
 
     trainer = Trainer(
         ps, n_points=cfg.sample_size, cutoff=cfg.similarity,
-        max_pts_from_one=cfg.pivots, k=0 if cfg.align else k)
+        max_pts_from_one=cfg.pivots, k=0 if cfg.align else k,
+        exact=cfg.exact)
     model = trainer.train(cfg.acc_cutoff)
 
     params = model.params

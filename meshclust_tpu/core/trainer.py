@@ -48,14 +48,22 @@ class TrainedModel:
 class Trainer:
     def __init__(self, ps: PointSet, n_points: int, cutoff: float,
                  max_pts_from_one: int, k: int,
-                 align_batch: Optional[Callable] = None):
+                 align_batch: Optional[Callable] = None,
+                 exact: bool = False):
         """k == 0 selects align mode (ref Runner.cpp:332 `align ? 0 : k`)."""
         self.ps = ps
         self.n_points = n_points
         self.cutoff = cutoff
         self.max_pts_from_one = max_pts_from_one
         self.k = k
+        self.exact = exact
         self.align_batch = align_batch or self._default_align_batch
+
+    def _distance_rows(self, rows: np.ndarray) -> np.ndarray:
+        if self.exact:
+            return np.stack([self.ps.distance_row(int(r)) for r in rows]
+                            ).astype(np.int64)
+        return self.ps.distance_rows_device(rows)
 
     # -- alignment labeling -------------------------------------------------
     def _default_align_batch(self, pairs: Sequence[Tuple[int, int]]
@@ -71,7 +79,7 @@ class Trainer:
         n = ps.n
         order = np.argsort(ps.lengths, kind="stable")
         begin_pt = int(order[n // 2])
-        dist_to_begin = ps.distance_row(begin_pt)
+        dist_to_begin = self._distance_rows(np.asarray([begin_pt]))[0]
         order = np.argsort(dist_to_begin, kind="stable")
 
         num_iterations = math.ceil(self.n_points / self.max_pts_from_one) - 1
@@ -84,11 +92,11 @@ class Trainer:
 
         to_add_each = self.max_pts_from_one // 2
 
-        # per-pivot distance sort (vectorized), then the batched binary search
-        pts_sorted: List[np.ndarray] = []
-        for p in pivots:
-            d = ps.distance_row(p)
-            pts_sorted.append(np.argsort(d, kind="stable"))
+        # per-pivot distance sort (device-batched), then the batched
+        # binary search
+        dists = self._distance_rows(np.asarray(pivots, np.int64))
+        pts_sorted: List[np.ndarray] = [
+            np.argsort(dists[i], kind="stable") for i in range(len(pivots))]
 
         # batched binary search by TRUE alignment (ref Trainer.cpp:702-721):
         # all pivots advance one probe per round.

@@ -234,11 +234,16 @@ def align_identity_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     for (ba, bb), idxs in groups.items():
         for s in range(0, len(idxs), max_batch):
             chunk = idxs[s: s + max_batch]
-            P = len(chunk)
+            # pad the batch dim to a pow2 bucket: the (P, R, D)-shaped scan
+            # program compiles once per bucket, not once per call
+            P = 64
+            while P < len(chunk):
+                P *= 2
+            P = min(P, max_batch)
             s1 = np.zeros((P, ba), np.uint8)
             s2 = np.zeros((P, bb), np.uint8)
-            l1 = np.zeros(P, np.int32)
-            l2 = np.zeros(P, np.int32)
+            l1 = np.ones(P, np.int32)
+            l2 = np.ones(P, np.int32)
             for r, idx in enumerate(chunk):
                 a, b = pairs[idx]
                 s1[r, : len(a)] = a
@@ -253,5 +258,5 @@ def align_identity_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
                 go=go, gc=gc)
             ident = (np.asarray(amatch, np.float64)
                      / np.maximum(np.asarray(alen, np.float64), 1.0))
-            out[np.asarray(chunk)] = ident
+            out[np.asarray(chunk)] = ident[: len(chunk)]
     return out

@@ -69,8 +69,8 @@ def test_multi_bin_structure():
     bv = _make(lengths, bin_size=10)
     assert len(bv.begin_bounds) == 6
     # all points present exactly once
-    all_idx = sorted(i for b in bv.idx for i in b)
+    all_idx = sorted(int(i) for b in bv.idx for i in b)
     assert all_idx == list(range(57))
     # bins sorted by length internally
     for b in range(len(bv.idx)):
-        assert bv.lens[b] == sorted(bv.lens[b])
+        assert list(bv.lens[b]) == sorted(bv.lens[b])
