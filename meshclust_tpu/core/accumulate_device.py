@@ -1,0 +1,358 @@
+"""Device-resident mean-shift accumulation (phase A) — the flagship kernel.
+
+The reference's accumulate (ClusterFactory.cpp:637-714) is a sequential loop:
+classify a length-window of live candidates against the current center,
+absorb the positives, move the center to the member closest to the member
+mean, repeat until stable, then seed the next center from the most-similar
+remaining candidate. The host-driven version pays a device round-trip per
+iteration; this module runs the ENTIRE phase in one jitted call using
+`lax.while_loop`s, with all state device-resident:
+
+  slots: the finalized bvec order (bins concatenated; globally non-decreasing
+  length). Static per-slot arrays: point row, length, bin id. Dynamic: active
+  mask, owner (center id per absorbed slot), stamp (absorb order).
+
+Window bounds reproduce bvec::get_range semantics exactly (SURVEY C7):
+  - index_of: linear-scan rule over begin_bounds (bvec.cpp:122-149),
+  - inner_index_of: for live sorted in-bin lengths L and query x —
+      front = x < L[0] ? 0 : min(lower_bound(L, x), size-1)
+      back  = x > L[-1] ? size-1 : (found ? upper_bound(L, x)-1
+                                          : min(lower_bound(L, x), size-1))
+    (closed forms of the reference's binary-search walk; verified against
+    the host emulation in tests/test_accum_device.py),
+  - empty-bin fallbacks: front -> first live slot of first non-empty bin,
+    back -> FIRST live slot of the last non-empty bin (the truncation quirk).
+
+Live ranks use a per-iteration prefix sum over the active mask; in-bin
+lower/upper bounds use searchsorted on the static global length array
+(valid because the flattened order is non-decreasing).
+
+Classifier math matches core/classify.DeviceBackend (f32); distance_d keeps
+the reference's per-element truncation. All reductions take the FIRST
+occurrence on ties (slot order == the reference's iteration order).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meshclust_tpu.ops import features as F
+
+INF = jnp.float32(np.inf)
+
+
+def _classify(h_w, h_c, mag_w, mag_c, sq_w, sq_c, len_w, len_c, V,
+              singles, combos, mins, maxs, is_sim, weights):
+    """Vectorized classifier rows-vs-one-center. Returns (positive, f1)."""
+    man = jnp.sum(jnp.abs(h_w - h_c[None, :]), axis=1)
+    dot = h_w @ h_c
+    cols = []
+    for flag in singles:
+        if flag == F.FEAT_LD:
+            v = jnp.abs(len_w - len_c)
+        elif flag == F.FEAT_MANHATTAN:
+            v = man
+        elif flag == F.FEAT_INTERSECTION:
+            v = (mag_w + mag_c - man) / (mag_w + mag_c)
+        elif flag == F.FEAT_KULCZYNSKI2:
+            ap = mag_w / V
+            aq = mag_c / V
+            v = V * (ap + aq) / (2.0 * ap * aq) * (mag_w + mag_c - man) * 0.5
+        elif flag == F.FEAT_SIMRATIO:
+            norm2 = jnp.maximum(sq_w + sq_c - 2.0 * dot, 0.0)
+            v = dot / (dot + jnp.sqrt(norm2))
+        elif flag == F.FEAT_PEARSON:
+            ap = jnp.round(mag_w / V)
+            aq = jnp.round(mag_c / V)
+            np_ = sq_w - 2.0 * ap * mag_w + V * ap * ap
+            nq_ = sq_c - 2.0 * aq * mag_c + V * aq * aq
+            dotc = dot - ap * mag_c - aq * mag_w + V * ap * aq
+            v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
+        else:
+            raise AssertionError(flag)
+        cols.append(v)
+    cache = jnp.stack(cols, axis=-1)
+    norm = (cache - mins) / (maxs - mins)
+    norm = jnp.where(is_sim, norm, 1.0 - norm)
+    score = jnp.full(cache.shape[:-1], weights[0])
+    f1 = None
+    for j, (combo, idx) in enumerate(combos):
+        prod = jnp.ones(cache.shape[:-1], jnp.float32)
+        for i in idx:
+            c = norm[..., i]
+            prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
+        if j == 0:
+            f1 = prod
+        score = score + weights[j + 1] * prod
+    return score >= 0.0, f1
+
+
+def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
+                     singles, combos):
+    """Build the jitted full-phase-A function.
+
+    Static: N slots, V lanes, nbins, Cmax center capacity, similarity, the
+    combo structure. Inputs are the per-slot arrays; returns (owner [N],
+    stamp [N], center_slot [Cmax], n_centers).
+    """
+    singles = tuple(singles)
+    combos = tuple((c, tuple(ix)) for c, ix in combos)
+
+    def fn(hist_s, mag_s, sq_s, len_s, bin_of, bin_start, bin_end,
+           begin_bounds, mins, maxs, is_sim, weights):
+        i32 = jnp.int32
+        slots = jnp.arange(N, dtype=i32)
+        len_i = len_s.astype(i32)
+
+        def kth_active(qext, k):
+            """Slot index of the k-th (0-based) active slot; N if none."""
+            s = jnp.searchsorted(qext, k + 1, side="left") - 1
+            return jnp.where(k < qext[N], s, N).astype(i32)
+
+        def live_bounds(active, qext):
+            """(first live slot per bin or N, last live slot per bin or -1,
+            live counts per bin)."""
+            cnt = qext[bin_end] - qext[bin_start]
+            first = jnp.where(
+                cnt > 0,
+                jax.vmap(lambda bs, c: kth_active(qext, qext[bs]))(
+                    bin_start, cnt), N)
+            last = jnp.where(
+                cnt > 0,
+                jax.vmap(lambda be: kth_active(qext, qext[be] - 1))(
+                    bin_end), -1)
+            return first.astype(i32), last.astype(i32), cnt.astype(i32)
+
+        def index_of(length):
+            """bvec::index_of (low, high) over begin_bounds."""
+            bb = begin_bounds
+            prev = jnp.concatenate([jnp.zeros(1, i32), bb[:-1]])
+            prev_index = jnp.maximum(
+                jnp.arange(nbins, dtype=i32) - 1, 0)
+            cond = (length >= prev) & (length <= bb)
+            low = jnp.min(jnp.where(cond, prev_index, nbins - 1))
+            high = jnp.max(jnp.where(cond, prev_index, 0))
+            high = jnp.where(length >= bb[nbins - 1],
+                             jnp.maximum(high, nbins - 1), high)
+            return low.astype(i32), high.astype(i32)
+
+        def window_bounds(length, active, qext, first_live, last_live,
+                          live_cnt):
+            """Absolute inclusive slot range [w0, w1] of get_range(
+            length*sim, length/sim) on the live structure."""
+            lo = jnp.floor(
+                length.astype(jnp.float32) * jnp.float32(sim)).astype(i32)
+            hi = jnp.floor(
+                length.astype(jnp.float32) / jnp.float32(sim)).astype(i32)
+            fbin = index_of(lo)[0]
+            bbin = index_of(hi)[1]
+
+            any_live = jnp.any(live_cnt > 0)
+            # ---- front side
+            def front_nonempty(b):
+                bs, be = bin_start[b], bin_end[b]
+                sz = live_cnt[b]
+                l0 = len_i[first_live[b]]
+                # lower_bound among live of bin b for lo:
+                t = jnp.clip(jnp.searchsorted(len_i, lo, side="left"),
+                             bs, be).astype(i32)
+                lb = qext[t] - qext[bs]          # live rank
+                inner = jnp.where(lo < l0, 0,
+                                  jnp.minimum(lb, sz - 1))
+                return kth_active(qext, qext[bs] + inner)
+
+            def first_nonempty_bin():
+                ok = live_cnt > 0
+                b = jnp.argmax(ok)               # first non-empty
+                return kth_active(qext, qext[bin_start[b]])
+
+            w0 = jnp.where(
+                live_cnt[fbin] > 0, front_nonempty(fbin),
+                jnp.where(any_live, first_nonempty_bin(), i32(N)))
+
+            # ---- back side
+            def back_nonempty(b):
+                bs, be = bin_start[b], bin_end[b]
+                sz = live_cnt[b]
+                llast = len_i[last_live[b]]
+                tl = jnp.clip(jnp.searchsorted(len_i, hi, side="left"),
+                              bs, be).astype(i32)
+                tu = jnp.clip(jnp.searchsorted(len_i, hi, side="right"),
+                              bs, be).astype(i32)
+                lb = qext[tl] - qext[bs]
+                ub = qext[tu] - qext[bs]
+                found = ub > lb
+                inner = jnp.where(hi > llast, sz - 1,
+                                  jnp.where(found, ub - 1,
+                                            jnp.minimum(lb, sz - 1)))
+                return kth_active(qext, qext[bs] + inner)
+
+            def last_nonempty_first_slot():
+                ok = live_cnt > 0
+                b = nbins - 1 - jnp.argmax(ok[::-1])   # last non-empty
+                return kth_active(qext, qext[bin_start[b]])
+
+            w1 = jnp.where(
+                live_cnt[bbin] > 0, back_nonempty(bbin),
+                jnp.where(any_live, last_nonempty_first_slot(), i32(-1)))
+            return w0, w1
+
+        def inner_body(state):
+            (active, owner, stamp, t, last_slot, c, sumvec, count,
+             is_min, _prev_best) = state
+            qext = jnp.concatenate(
+                [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
+            first_live, last_live, live_cnt = live_bounds(active, qext)
+            length = len_i[last_slot]
+            w0, w1 = window_bounds(length, active, qext, first_live,
+                                   last_live, live_cnt)
+            in_win = active & (slots >= w0) & (slots <= w1)
+            h_c = hist_s[last_slot]
+            pos, f1 = _classify(
+                hist_s, h_c, mag_s, mag_s[last_slot], sq_s, sq_s[last_slot],
+                len_s, len_s[last_slot], V, singles, combos,
+                mins, maxs, is_sim, weights)
+            pos = pos & in_win
+            f1w = jnp.where(in_win, f1, -INF)
+            best = jnp.argmax(f1w).astype(i32)
+            best = jnp.where(jnp.any(in_win), best, i32(-1))
+            any_pos = jnp.any(pos)
+
+            # absorb positives
+            owner = jnp.where(pos, c, owner)
+            stamp = jnp.where(pos, t, stamp)
+            active = active & ~pos
+            sumvec = sumvec + jnp.sum(
+                jnp.where(pos[:, None], hist_s, 0.0), axis=0)
+            count = count + jnp.sum(pos.astype(jnp.float32))
+
+            # get_mean: member argmin of distance_d to the mean
+            mean = sumvec / jnp.maximum(count, 1.0)
+            member = owner == c
+            cw = jnp.floor(mean)
+            dist = 2.0 * jnp.sum(jnp.minimum(hist_s, cw[None, :]), axis=1)
+            mg = jnp.sum(jnp.floor(hist_s + mean[None, :]), axis=1)
+            frac = dist / jnp.maximum(mg, 1.0)
+            d = jnp.where(member, 10000.0 * (1.0 - frac * frac), INF)
+            new_last = jnp.argmin(d).astype(i32)
+            last_slot = jnp.where(any_pos, new_last, last_slot)
+
+            return (active, owner, stamp, t + 1, last_slot, c, sumvec,
+                    count, ~any_pos, best)
+
+        def inner_cond(state):
+            return ~state[8]
+
+        def outer_body(state):
+            active, owner, stamp, t, seed_slot, c, center_slot, done = state
+            # start a center at seed_slot
+            owner = owner.at[seed_slot].set(c)
+            stamp = stamp.at[seed_slot].set(t)
+            sumvec = hist_s[seed_slot]
+            count = jnp.float32(1.0)
+            inner_state = (active, owner, stamp, t + 1, seed_slot, c,
+                           sumvec, count, jnp.bool_(False), i32(-1))
+            (active, owner, stamp, t, last_slot, _, _, _, _, best) = \
+                jax.lax.while_loop(inner_cond, inner_body, inner_state)
+            center_slot = center_slot.at[c].set(last_slot)
+
+            # next seed: best candidate (erase) or pop() (first live slot)
+            def from_best(_):
+                return best, active.at[best].set(False)
+
+            def from_pop(_):
+                qext = jnp.concatenate(
+                    [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
+                s = jnp.searchsorted(qext, 1, side="left") - 1
+                s = jnp.where(qext[N] > 0, s, N).astype(i32)
+                return s, jnp.where(
+                    (slots == s), False, active)
+
+            next_seed, active = jax.lax.cond(best >= 0, from_best,
+                                             from_pop, None)
+            done = (next_seed >= N) | (next_seed < 0) | (c + 1 >= Cmax)
+            next_seed = jnp.clip(next_seed, 0, N - 1)
+            return (active, owner, stamp, t, next_seed, c + 1,
+                    center_slot, done)
+
+        def outer_cond(state):
+            return ~state[7]
+
+        active0 = jnp.ones(N, bool)
+        owner0 = jnp.full(N, -1, i32)
+        stamp0 = jnp.zeros(N, i32)
+        center_slot0 = jnp.full(Cmax, -1, i32)
+        # pop() the very first seed
+        seed0 = i32(0)
+        active0 = active0.at[0].set(False)
+        state = (active0, owner0, stamp0, i32(0), seed0, i32(0),
+                 center_slot0, jnp.bool_(False))
+        state = jax.lax.while_loop(outer_cond, outer_body, state)
+        (active, owner, stamp, t, _, c, center_slot, _) = state
+        return owner, stamp, center_slot, c
+
+    return jax.jit(fn)
+
+
+def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
+                      cmax_hint: int = 0):
+    """Run phase A on device. `bv` must be a finalized BVec; returns the
+    Center list in reference semantics (see core/meanshift.Center)."""
+    from meshclust_tpu.core.meanshift import Center
+
+    slots_point = np.concatenate([np.asarray(b, np.int64) for b in bv.idx])
+    N = slots_point.shape[0]
+    nbins = len(bv.idx)
+    bin_sizes = [len(b) for b in bv.idx]
+    bin_start = np.zeros(nbins, np.int32)
+    bin_end = np.zeros(nbins, np.int32)
+    off = 0
+    bin_of = np.zeros(N, np.int32)
+    for b, sz in enumerate(bin_sizes):
+        bin_start[b] = off
+        bin_end[b] = off + sz
+        bin_of[off: off + sz] = b
+        off += sz
+    begin_bounds = np.asarray(bv.begin_bounds, np.int32)
+
+    dev = ps.device_arrays()
+    sp = jnp.asarray(slots_point.astype(np.int32))
+    hist_s = dev["hist"][sp]
+    mag_s = dev["mag"][sp]
+    sq_s = dev["sq"][sp]
+    len_s = dev["len"][sp]
+
+    Cmax = cmax_hint or (N + 1)
+    fn = build_accumulate(N, ps.V, nbins, Cmax, sim,
+                          params.singles,
+                          [(c, list(ix)) for c, ix in params.combos])
+    owner, stamp, center_slot, n_centers = fn(
+        hist_s, mag_s, sq_s, len_s,
+        jnp.asarray(bin_of), jnp.asarray(bin_start), jnp.asarray(bin_end),
+        jnp.asarray(begin_bounds),
+        jnp.asarray(params.mins, jnp.float32),
+        jnp.asarray(params.maxs, jnp.float32),
+        jnp.asarray(params.is_sim),
+        jnp.asarray(params.weights, jnp.float32))
+    owner = np.asarray(owner)
+    stamp = np.asarray(stamp)
+    center_slot = np.asarray(center_slot)
+    n_centers = int(n_centers)
+    if n_centers >= Cmax - 1:
+        raise RuntimeError("center capacity exceeded; raise cmax_hint")
+
+    centers: List[Center] = []
+    order = np.lexsort((np.arange(N), stamp))   # (stamp, slot) order
+    members_by_owner: List[List[int]] = [[] for _ in range(n_centers)]
+    for s in order:
+        o = owner[s]
+        if 0 <= o < n_centers:
+            members_by_owner[o].append(int(slots_point[s]))
+    for c in range(n_centers):
+        centers.append(Center(int(slots_point[center_slot[c]]),
+                              members_by_owner[c]))
+    return centers

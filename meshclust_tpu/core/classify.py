@@ -149,6 +149,7 @@ class DeviceBackend:
 
     SUPPORTED = (F.FEAT_LD, F.FEAT_MANHATTAN, F.FEAT_INTERSECTION,
                  F.FEAT_PEARSON, F.FEAT_SIMRATIO, F.FEAT_KULCZYNSKI2)
+    supports_device_accumulate = True
 
     def __init__(self, ps: PointSet, params: F.FeatureParams):
         for s in params.singles:

@@ -63,6 +63,10 @@ class MeanShift:
 
     # -- Phase A -----------------------------------------------------------
     def accumulate_all(self, bv: BVec) -> List[Center]:
+        if getattr(self.backend, "supports_device_accumulate", False):
+            from meshclust_tpu.core.accumulate_device import accumulate_device
+            return accumulate_device(self.ps, bv, self.backend.params,
+                                     self.sim)
         ps = self.ps
         centers: List[Center] = []
         prog = Progress(bv.size() + 1, "Accumulation")
