@@ -81,11 +81,13 @@ def warmup() -> None:
     wpath = "/tmp/meshclust_bench_warmup.fasta"
     with open(wpath, "w") as f:
         for s in range(8):
-            L = LEN
+            L = LEN + int(rng.integers(-LEN // 10, LEN // 10))
             base = rng.integers(0, 4, size=L)
             for c in range(25):
-                seq = base.copy()
-                pos = rng.integers(0, L, size=int(0.03 * L))
+                # vary lengths so FEAT_LD doesn't degenerate (min==max)
+                e = L - int(rng.integers(0, max(2, L // 50)))
+                seq = base[:e].copy()
+                pos = rng.integers(0, e, size=int(0.03 * e))
                 seq[pos] = (seq[pos] + 1) % 4
                 f.write(f">w{s}_{c}\n")
                 f.write("".join(bases[x] for x in seq) + "\n")

@@ -342,7 +342,7 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     stamp = np.asarray(stamp)
     center_slot = np.asarray(center_slot)
     n_centers = int(n_centers)
-    if n_centers >= Cmax - 1:
+    if n_centers > Cmax:
         raise RuntimeError("center capacity exceeded; raise cmax_hint")
 
     centers: List[Center] = []
