@@ -36,19 +36,22 @@ def make_dataset() -> str:
     if os.path.exists(FASTA):
         return FASTA
     rng = np.random.default_rng(42)
-    bases = "ACGT"
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
     per = N // SPECIES
-    with open(FASTA + ".tmp", "w") as f:
+    with open(FASTA + ".tmp", "wb") as f:
         for s in range(SPECIES):
             L = LEN + int(rng.integers(-LEN // 10, LEN // 10))
-            base = rng.integers(0, 4, size=L)
+            base = rng.integers(0, 4, size=L, dtype=np.int8)
+            seqs = np.tile(base, (per, 1))
+            mut = rng.random((per, L)) < 0.03
+            seqs = np.where(mut, (seqs + 1 + rng.integers(
+                0, 3, size=(per, L), dtype=np.int8)) % 4, seqs)
+            # vary lengths slightly so FEAT_LD never degenerates
+            ends = L - rng.integers(0, max(2, L // 50), size=per)
+            rows = letters[seqs]
             for c in range(per):
-                seq = base.copy()
-                nmut = int(0.03 * L)
-                pos = rng.integers(0, L, size=nmut)
-                seq[pos] = (seq[pos] + 1 + rng.integers(0, 3, size=nmut)) % 4
-                f.write(f">sp{s}_c{c}\n")
-                f.write("".join(bases[x] for x in seq) + "\n")
+                f.write(b">sp%d_c%d\n" % (s, c))
+                f.write(rows[c, : ends[c]].tobytes() + b"\n")
     os.replace(FASTA + ".tmp", FASTA)
     return FASTA
 
