@@ -104,6 +104,11 @@ def warmup() -> None:
 def main() -> None:
     path = make_dataset()
 
+    import jax
+    import jax.numpy as jnp
+    # touch the backend with a trivial program before any real compile
+    (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+
     from meshclust_tpu.config import ClusterConfig
     from meshclust_tpu.core.runner import run
 

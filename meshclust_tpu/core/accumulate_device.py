@@ -222,24 +222,31 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             best = jnp.where(jnp.any(in_win), best, i32(-1))
             any_pos = jnp.any(pos)
 
-            # absorb positives
-            owner = jnp.where(pos, c, owner)
-            stamp = jnp.where(pos, t, stamp)
-            active = active & ~pos
-            sumvec = sumvec + jnp.sum(
-                jnp.where(pos[:, None], hist_s, 0.0), axis=0)
-            count = count + jnp.sum(pos.astype(jnp.float32))
+            def absorb(_):
+                # absorb positives, then get_mean: member argmin of
+                # distance_d to the member-mean histogram
+                owner2 = jnp.where(pos, c, owner)
+                stamp2 = jnp.where(pos, t, stamp)
+                active2 = active & ~pos
+                sumvec2 = sumvec + jnp.sum(
+                    jnp.where(pos[:, None], hist_s, 0.0), axis=0)
+                count2 = count + jnp.sum(pos.astype(jnp.float32))
+                mean = sumvec2 / jnp.maximum(count2, 1.0)
+                member = owner2 == c
+                cw = jnp.floor(mean)
+                dist = 2.0 * jnp.sum(jnp.minimum(hist_s, cw[None, :]),
+                                     axis=1)
+                mg = jnp.sum(jnp.floor(hist_s + mean[None, :]), axis=1)
+                frac = dist / jnp.maximum(mg, 1.0)
+                d = jnp.where(member, 10000.0 * (1.0 - frac * frac), INF)
+                new_last = jnp.argmin(d).astype(i32)
+                return (active2, owner2, stamp2, sumvec2, count2, new_last)
 
-            # get_mean: member argmin of distance_d to the mean
-            mean = sumvec / jnp.maximum(count, 1.0)
-            member = owner == c
-            cw = jnp.floor(mean)
-            dist = 2.0 * jnp.sum(jnp.minimum(hist_s, cw[None, :]), axis=1)
-            mg = jnp.sum(jnp.floor(hist_s + mean[None, :]), axis=1)
-            frac = dist / jnp.maximum(mg, 1.0)
-            d = jnp.where(member, 10000.0 * (1.0 - frac * frac), INF)
-            new_last = jnp.argmin(d).astype(i32)
-            last_slot = jnp.where(any_pos, new_last, last_slot)
+            def keep(_):
+                return (active, owner, stamp, sumvec, count, last_slot)
+
+            (active, owner, stamp, sumvec, count, last_slot) = jax.lax.cond(
+                any_pos, absorb, keep, None)
 
             return (active, owner, stamp, t + 1, last_slot, c, sumvec,
                     count, ~any_pos, best)

@@ -65,6 +65,44 @@ class Trainer:
                             ).astype(np.int64)
         return self.ps.distance_rows_device(rows)
 
+    def _pivot_orders(self, rows: np.ndarray):
+        """Distance-sort orders for each pivot, kept ON DEVICE; only gathered
+        entries are transferred (the 1M-scale path avoids moving [P, N])."""
+        if self.exact:
+            dists = self._distance_rows(rows)
+            orders = [np.argsort(dists[i], kind="stable")
+                      for i in range(rows.shape[0])]
+
+            class HostOrders:
+                def gather(self, ii, jj):
+                    return np.asarray([orders[a][b] for a, b in zip(ii, jj)],
+                                      np.int64)
+
+            return HostOrders()
+
+        import jax
+        import jax.numpy as jnp
+        ps = self.ps
+        dev = ps.device_arrays()
+        P = rows.shape[0]
+        order_rows = []
+        if not hasattr(ps, "_distfn"):
+            ps.distance_rows_device(rows[:1])  # builds ps._distfn
+        for s in range(0, P, 16):
+            chunk = jnp.asarray(rows[s: s + 16].astype(np.int32))
+            d = ps._distfn(dev["hist"], dev["mag"], chunk)
+            order_rows.append(jnp.argsort(d, axis=1, stable=True)
+                              .astype(jnp.int32))
+        orders_dev = jnp.concatenate(order_rows, axis=0)
+
+        class DevOrders:
+            def gather(self, ii, jj):
+                out = orders_dev[jnp.asarray(np.asarray(ii, np.int32)),
+                                 jnp.asarray(np.asarray(jj, np.int32))]
+                return np.asarray(out).astype(np.int64)
+
+        return DevOrders()
+
     # -- alignment labeling -------------------------------------------------
     def _default_align_batch(self, pairs: Sequence[Tuple[int, int]]
                              ) -> np.ndarray:
@@ -79,24 +117,20 @@ class Trainer:
         n = ps.n
         order = np.argsort(ps.lengths, kind="stable")
         begin_pt = int(order[n // 2])
-        dist_to_begin = self._distance_rows(np.asarray([begin_pt]))[0]
-        order = np.argsort(dist_to_begin, kind="stable")
+        begin_orders = self._pivot_orders(np.asarray([begin_pt], np.int64))
 
         num_iterations = math.ceil(self.n_points / self.max_pts_from_one) - 1
         num_iterations = max(1, num_iterations)
-        pivots: List[int] = []
-        for i in range(num_iterations + 1):
-            idx = i * (n - 1) // num_iterations
-            pivots.append(int(order[idx]))
+        pivot_slots = [i * (n - 1) // num_iterations
+                       for i in range(num_iterations + 1)]
+        pivots = [int(x) for x in begin_orders.gather(
+            [0] * len(pivot_slots), pivot_slots)]
         log(f"Point pairs: {len(pivots)}")
 
         to_add_each = self.max_pts_from_one // 2
 
-        # per-pivot distance sort (device-batched), then the batched
-        # binary search
-        dists = self._distance_rows(np.asarray(pivots, np.int64))
-        pts_sorted: List[np.ndarray] = [
-            np.argsort(dists[i], kind="stable") for i in range(len(pivots))]
+        # per-pivot distance-sort orders (device-resident at scale)
+        orders = self._pivot_orders(np.asarray(pivots, np.int64))
 
         # batched binary search by TRUE alignment (ref Trainer.cpp:702-721):
         # all pivots advance one probe per round.
@@ -105,17 +139,12 @@ class Trainer:
         offsets = np.full(len(pivots), offset0, np.int64)
         done = offsets <= 0
         while not done.all():
-            probe_pairs = [
-                (pivots[i], int(pts_sorted[i][pivot_pos[i]]))
-                for i in range(len(pivots)) if not done[i]
-            ]
+            live = [i for i in range(len(pivots)) if not done[i]]
+            probe_pts = orders.gather(live, [int(pivot_pos[i]) for i in live])
+            probe_pairs = [(pivots[i], int(q))
+                           for i, q in zip(live, probe_pts)]
             ids = self.align_batch(probe_pairs)
-            j = 0
-            for i in range(len(pivots)):
-                if done[i]:
-                    continue
-                algn = ids[j]
-                j += 1
+            for i, algn in zip(live, ids):
                 if algn < self.cutoff:
                     pivot_pos[i] -= offsets[i]
                 elif algn > self.cutoff:
@@ -127,35 +156,50 @@ class Trainer:
                 if offsets[i] <= 0:
                     done[i] = True
 
-        # pair selection around each pivot's boundary (Trainer.cpp:723-768)
+        # pair selection around each pivot's boundary (Trainer.cpp:723-768):
+        # compute all gather positions first, fetch once, then assemble.
         aerr = 0
-        seen: Dict[Tuple[str, str], None] = {}
-        ordered_pairs: List[Tuple[int, int]] = []
-        keys: List[Tuple[str, str]] = []
-        for i, p in enumerate(pivots):
-            pts = pts_sorted[i]
+        gather_i: List[int] = []
+        gather_j: List[int] = []
+        per_pivot_counts: List[int] = []
+        incs: List[Tuple[float, float]] = []
+        for i in range(len(pivots)):
             pivot = int(pivot_pos[i])
             before_inc = pivot / to_add_each
             after_inc = (n - pivot) / to_add_each
+            incs.append((before_inc, after_inc))
             if before_inc < 1:
                 aerr = 1
             elif after_inc < 1:
                 aerr = -1
+            cnt0 = 0
             before_start = 0.0
-            after_start = float(pivot)
-            buf: List[Tuple[int, int]] = []
             for _ in range(to_add_each):
-                idx = int(_cxx_round(before_start))
-                q = int(pts[idx])
-                buf.append(self._ordered(p, q))
+                gather_i.append(i)
+                gather_j.append(int(_cxx_round(before_start)))
                 before_start += before_inc
+                cnt0 += 1
+            after_start = float(pivot)
             cnt = 0
             while cnt < to_add_each and _cxx_round(after_start) < n:
-                idx = int(_cxx_round(after_start))
-                q = int(pts[idx])
-                buf.append(self._ordered(p, q))
+                gather_i.append(i)
+                gather_j.append(int(_cxx_round(after_start)))
                 after_start += after_inc
                 cnt += 1
+                cnt0 += 1
+            per_pivot_counts.append(cnt0)
+        gathered = orders.gather(gather_i, gather_j)
+
+        seen: Dict[Tuple[str, str], None] = {}
+        ordered_pairs: List[Tuple[int, int]] = []
+        keys: List[Tuple[str, str]] = []
+        off = 0
+        for i, p in enumerate(pivots):
+            buf: List[Tuple[int, int]] = []
+            for t in range(per_pivot_counts[i]):
+                q = int(gathered[off + t])
+                buf.append(self._ordered(p, q))
+            off += per_pivot_counts[i]
             for pr in buf:
                 key = (self.ps.headers[pr[0]], self.ps.headers[pr[1]])
                 if key not in seen:

@@ -118,6 +118,27 @@ def encode_record(header: str, seq_bytes: bytes) -> Optional[Sequence]:
     net effect of "no usable data" but without dying — documented divergence).
     """
     raw = _UPPER_LUT[np.frombuffer(seq_bytes, dtype=np.uint8)]
+    return _encode_upper(header, raw)
+
+
+def _encode_upper(header: str, raw: np.ndarray) -> Optional[Sequence]:
+    if raw.shape[0] == 0:
+        return None
+    # fast path: no Ns at all (the common case for read data)
+    if not (raw == N_BYTE).any():
+        codes = _CODE_LUT[raw]
+        bad = codes == 255
+        if bad.any():
+            pos = int(np.nonzero(bad)[0][0])
+            raise InvalidInputError(
+                f"Invalid nucleotide {chr(int(raw[pos]))!r} at position "
+                f"{pos} in record {header!r}")
+        L = raw.shape[0]
+        if L >= MIN_SEG:
+            segs = _chunk_segments(np.array([[0, L - 1]], dtype=np.int64))
+        else:
+            segs = np.zeros((0, 2), dtype=np.int64)
+        return Sequence(header=header, codes=codes, segments=segs)
     is_n = raw == N_BYTE
     segs = _merge_segments(_find_segments(is_n))
     segs = _chunk_segments(segs)
@@ -170,10 +191,72 @@ def iter_fasta_records(path: str) -> Iterable[tuple]:
 
 
 def read_fasta(path: str) -> List[Sequence]:
-    """Parse one multi-FASTA file into preprocessed Sequences."""
+    """Parse one multi-FASTA file into preprocessed Sequences.
+
+    Vectorized whole-file path: newline indexing + one LUT pass over the
+    entire byte buffer; per-record work only for records containing N runs
+    or invalid characters. Falls back to the streaming parser on inputs the
+    fast path cannot batch (CR line endings)."""
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except FileNotFoundError as e:
+        raise FileDoesNotExistError(f'File "{path}" does not exist') from e
+    if b"\r" in data[:65536]:
+        return _read_fasta_streaming(data)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    if buf.shape[0] == 0:
+        return []
+    nl = np.nonzero(buf == ord("\n"))[0]
+    # line start offsets
+    starts = np.concatenate(([0], nl + 1))
+    ends = np.concatenate((nl, [buf.shape[0]]))
+    keep = starts < ends  # drop empty trailing line
+    starts, ends = starts[keep], ends[keep]
+    if starts.shape[0] == 0:
+        return []
+    is_header = buf[starts] == ord(">")
+    header_rows = np.nonzero(is_header)[0]
+    if header_rows.shape[0] == 0:
+        return []
+
+    upper = _UPPER_LUT[buf]
     out: List[Sequence] = []
-    for header, seq in iter_fasta_records(path):
-        rec = encode_record(header, seq)
+    n_lines = starts.shape[0]
+    for h_i, row in enumerate(header_rows):
+        header = data[starts[row]: ends[row]].decode("utf-8", "replace")
+        last = (header_rows[h_i + 1] if h_i + 1 < header_rows.shape[0]
+                else n_lines)
+        segs = [upper[starts[r]: ends[r]] for r in range(row + 1, last)]
+        if not segs:
+            continue
+        raw = segs[0] if len(segs) == 1 else np.concatenate(segs)
+        rec = _encode_upper(header, raw)
+        if rec is not None:
+            out.append(rec)
+    return out
+
+
+def _read_fasta_streaming(data: bytes) -> List[Sequence]:
+    out: List[Sequence] = []
+    header: Optional[bytes] = None
+    chunks: List[bytes] = []
+    for line in data.split(b"\n"):
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        if line.startswith(b">"):
+            if header is not None:
+                rec = encode_record(header.decode("utf-8", "replace"),
+                                    b"".join(chunks))
+                if rec is not None:
+                    out.append(rec)
+            header = line
+            chunks = []
+        elif header is not None:
+            chunks.append(line)
+    if header is not None:
+        rec = encode_record(header.decode("utf-8", "replace"),
+                            b"".join(chunks))
         if rec is not None:
             out.append(rec)
     return out

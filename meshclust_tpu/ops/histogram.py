@@ -199,17 +199,32 @@ def featurize_batch_device(codes, valid, inseg, k: int, init: int = 1,
 
 def pad_batch(seqs: List[fio.Sequence], k: int, pad_to: int | None = None
               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Pad a list of Sequences to [B, Lpad] (codes, kmer-valid, in-segment)."""
+    """Pad a list of Sequences to [B, Lpad] (codes, kmer-valid, in-segment).
+
+    Sequences that are one full-length segment (no N runs — the common case)
+    get vectorized length-based masks; others take the per-record path."""
     L = max(s.length for s in seqs)
     Lp = pad_to or round_up(max(L, LANE), LANE)
     B = len(seqs)
     codes = np.zeros((B, Lp), np.uint8)
     valid = np.zeros((B, Lp), np.uint8)
     inseg = np.zeros((B, Lp), np.uint8)
+    lengths = np.fromiter((s.length for s in seqs), np.int64, count=B)
+    simple = np.fromiter(
+        ((s.segments.shape[0] == 1 and s.segments[0, 0] == 0
+          and s.segments[0, 1] == s.length - 1) for s in seqs),
+        bool, count=B)
     for i, s in enumerate(seqs):
         codes[i, : s.length] = s.codes
-        valid[i, : s.length] = fio.kmer_valid_starts(s, k)
-        inseg[i, : s.length] = fio.in_segment_mask(s)
+        if not simple[i]:
+            valid[i, : s.length] = fio.kmer_valid_starts(s, k)
+            inseg[i, : s.length] = fio.in_segment_mask(s)
+    if simple.any():
+        pos = np.arange(Lp, dtype=np.int64)[None, :]
+        vmask = (pos < (lengths - k + 1)[:, None]) & simple[:, None]
+        imask = (pos < lengths[:, None]) & simple[:, None]
+        valid |= vmask.astype(np.uint8)
+        inseg |= imask.astype(np.uint8)
     return codes, valid, inseg
 
 
