@@ -1,0 +1,84 @@
+"""Genome k-mer table with Markov-background enrichment adjustment.
+
+Reference: TableBuilder + EnrichmentMarkovView (SURVEY R2/R3;
+TableBuilder.cpp:27-97, EnrichmentMarkovView.cpp:14-210).
+
+counts[y] for every k-mer y over all genome segments, plus background word
+counts of lengths 1..order+1. The adjusted value is
+    exp(y) = L * prod_{m=1}^{order} P_m(prefix_m) * prod_i P_top(word_i)
+where P_m are the per-group-normalized word frequencies (x factor=1e4,
+rounded — faithfully reproduced) and the adjusted count is
+    round(observed - exp) if observed >= min_obs and observed > exp else 0.
+
+Everything is vectorized over the 4^k table with integer digit arithmetic.
+"""
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from meshclust_tpu.io import fasta as fio
+
+FACTOR = 10000.0
+
+
+def count_words(seqs: Sequence[fio.Sequence], word_len: int) -> np.ndarray:
+    """Counts of all words of `word_len` across all segments (init 0)."""
+    V = 4 ** word_len
+    counts = np.zeros(V, np.int64)
+    powers = 4 ** np.arange(word_len - 1, -1, -1, dtype=np.int64)
+    for s in seqs:
+        codes = s.codes.astype(np.int64)
+        for a, b in s.segments:
+            seg = codes[a: b + 1]
+            if seg.shape[0] < word_len:
+                continue
+            # sliding ids via shifted integer sums (exact)
+            n = seg.shape[0] - word_len + 1
+            ids = np.zeros(n, np.int64)
+            for d in range(word_len):
+                ids += seg[d: d + n] * powers[d]
+            np.add.at(counts, ids, 1)
+    return counts
+
+
+def build_table(seqs: Sequence[fio.Sequence], k: int, order: int,
+                min_obs: int = 3) -> Tuple[np.ndarray, int, int]:
+    """-> (adjusted counts [4^k] int64, genome_length, max_value)."""
+    counts = count_words(seqs, k)
+    L = int(sum(int(b - a + 1) for s in seqs for a, b in s.segments))
+
+    # background models: word lengths 1..order+1, group-normalized
+    models: List[np.ndarray] = []
+    for wl in range(1, order + 2):
+        c = count_words(seqs, wl).astype(np.float64)
+        g = c.reshape(-1, 4)
+        sums = g.sum(axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            norm = np.round(FACTOR * g / sums)
+        norm = np.where(sums > 0, norm, 0.0)
+        models.append(norm.reshape(-1))
+
+    y = np.arange(4 ** k, dtype=np.int64)
+    # lowerP: prefixes of length 1..order (models 0..order-1)
+    lowerP = np.ones(4 ** k, np.float64)
+    for m in range(order):
+        wl = m + 1
+        prefix = y >> (2 * (k - wl))
+        lowerP *= models[m][prefix] / FACTOR
+    # upper: sliding words of length order+1 at offsets 0..k-order-1
+    top = models[order]
+    wl = order + 1
+    results_size = k - order - 1
+    upperP = np.ones(4 ** k, np.float64)
+    for i in range(results_size):
+        word = (y >> (2 * (k - wl - i))) & (4 ** wl - 1)
+        upperP *= top[word] / FACTOR
+    last_word = y & (4 ** wl - 1)
+    exp = L * lowerP * upperP * (top[last_word] / FACTOR)
+
+    observed = counts
+    adjusted = np.where((observed >= min_obs) & (observed > exp),
+                        np.round(observed - exp), 0.0).astype(np.int64)
+    return adjusted, L, int(adjusted.max(initial=0))
