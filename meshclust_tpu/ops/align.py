@@ -234,12 +234,9 @@ def align_identity_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
     for (ba, bb), idxs in groups.items():
         for s in range(0, len(idxs), max_batch):
             chunk = idxs[s: s + max_batch]
-            # pad the batch dim to a pow2 bucket: the (P, R, D)-shaped scan
-            # program compiles once per bucket, not once per call
-            P = 64
-            while P < len(chunk):
-                P *= 2
-            P = min(P, max_batch)
+            # fixed batch-dim bucket: ONE (P, R, D) scan program per length
+            # bucket across probe rounds, labeling, and warmup
+            P = max_batch
             s1 = np.zeros((P, ba), np.uint8)
             s2 = np.zeros((P, bb), np.uint8)
             l1 = np.ones(P, np.int32)

@@ -193,6 +193,20 @@ def featurize_batch_device(codes, valid, inseg, k: int, init: int = 1,
     return counts, ones, mag
 
 
+@functools.partial(jax.jit, static_argnames=("k", "init", "impl"))
+def featurize_batch_simple(codes, lengths, k: int, init: int = 1,
+                           impl: str = "xla_matmul"):
+    """featurize_batch_device for all-single-segment batches: the validity
+    masks are derived from lengths ON DEVICE (2/3 less host->device
+    traffic — the dominant cost at 1M-sequence scale on tunneled links)."""
+    L = codes.shape[1]
+    pos = jnp.arange(L, dtype=jnp.int32)[None, :]
+    lengths = lengths.astype(jnp.int32)[:, None]
+    valid = (pos < lengths - (k - 1)).astype(jnp.uint8)
+    inseg = (pos < lengths).astype(jnp.uint8)
+    return featurize_batch_device(codes, valid, inseg, k, init, impl)
+
+
 # ---------------------------------------------------------------------------
 # Host-side batch preparation
 # ---------------------------------------------------------------------------
@@ -281,17 +295,29 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
         for s0 in range(0, len(bucket), max_rows):
             chunk = bucket[s0: s0 + max_rows]
             sub = [seqs[i] for i in chunk]
-            codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
-            rows = codes.shape[0]
+            rows = len(sub)
             rp = 256 if rows <= 256 else round_up(rows, max(256, max_rows))
-            if rp != rows:
-                pad = ((0, rp - rows), (0, 0))
-                codes = np.pad(codes, pad)
-                valid = np.pad(valid, pad)
-                inseg = np.pad(inseg, pad)
-            counts, ones, _ = featurize_batch_device(
-                jnp.asarray(codes), jnp.asarray(valid), jnp.asarray(inseg),
-                k, init, impl)
+            all_simple = all(
+                s.segments.shape[0] == 1 and s.segments[0, 0] == 0
+                and s.segments[0, 1] == s.length - 1 for s in sub)
+            if all_simple:
+                codes = np.zeros((rp, Lp), np.uint8)
+                lens_arr = np.zeros(rp, np.int32)
+                for i, s in enumerate(sub):
+                    codes[i, : s.length] = s.codes
+                    lens_arr[i] = s.length
+                counts, ones, _ = featurize_batch_simple(
+                    jnp.asarray(codes), jnp.asarray(lens_arr), k, init, impl)
+            else:
+                codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
+                if rp != rows:
+                    pad = ((0, rp - rows), (0, 0))
+                    codes = np.pad(codes, pad)
+                    valid = np.pad(valid, pad)
+                    inseg = np.pad(inseg, pad)
+                counts, ones, _ = featurize_batch_device(
+                    jnp.asarray(codes), jnp.asarray(valid),
+                    jnp.asarray(inseg), k, init, impl)
             hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
             k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
     mag = hist.astype(np.int64).sum(axis=1)
