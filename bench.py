@@ -99,6 +99,18 @@ def warmup() -> None:
     run(ClusterConfig(files=[wpath], similarity=0.90,
                       output="/tmp/bench_warmup.clstr", iterations=2,
                       sample_size=200))
+    # Deterministically pre-compile every aligner length-bucket variant the
+    # timed run can hit (lengths span [0.9*LEN, 1.1*LEN]); the main-run
+    # labeling phase then runs steady-state.
+    from meshclust_tpu.ops.align import align_identity_batch
+    hi = LEN + LEN // 10
+    lo = max(4, LEN - LEN // 10)
+    probes = []
+    for la in sorted({lo, LEN, hi}):
+        a = rng.integers(0, 4, size=la).astype(np.uint8)
+        b = rng.integers(0, 4, size=hi).astype(np.uint8)
+        probes.append((a, b))
+    align_identity_batch(probes)
 
 
 def main() -> None:
