@@ -403,6 +403,159 @@ class DeviceBackend:
 
         return update
 
+    # -- fused Phase B: ALL update+merge iterations in ONE device call ------
+    def _build_phaseb(self, Cp: int, delta: int, iters: int):
+        """One jitted call runs `iters` x (mean_shift_update; merge) with
+        center state, member ownership, and merge compaction device-resident
+        (ClusterFactory.cpp:738-753). Eliminates the 2-roundtrips-per-
+        iteration host loop — the per-iteration work is identical to
+        update_banded + classify_pairs.
+
+        Member pools keep the STATIC original pool order; the reference
+        re-concatenates member lists after each merge, so distance-tie
+        argmin order can differ (inside the tie-breaking tolerance). The
+        per-iteration single-step merge targets are returned so the host
+        replays the reference's member-list order exactly for output.
+        """
+        V = self.ps.V
+        singles = self.singles
+        combos = self.combos
+        INF = jnp.float32(np.inf)
+        _DBL_MIN = 2.2250738585072014e-308  # Trainer.cpp:132-135 best-init
+
+        def classify_f1(h_a, h_b, mag_a, mag_b, sq_a, sq_b, len_a, len_b,
+                        mins, maxs, is_sim, weights):
+            """(positive, f1) for row-pairs — Trainer::merge's per-candidate
+            classification (Trainer.cpp:129-157); a = candidate center j,
+            b = center i (compute(cand, p) operand order)."""
+            man = jnp.sum(jnp.abs(h_a - h_b), axis=-1)
+            dot = jnp.sum(h_a * h_b, axis=-1)
+            cols = []
+            for flag in singles:
+                if flag == F.FEAT_LD:
+                    v = jnp.abs(len_a - len_b)
+                elif flag == F.FEAT_MANHATTAN:
+                    v = man
+                elif flag == F.FEAT_INTERSECTION:
+                    v = (mag_a + mag_b - man) / (mag_a + mag_b)
+                elif flag == F.FEAT_KULCZYNSKI2:
+                    ap = mag_a / V
+                    aq = mag_b / V
+                    v = (V * (ap + aq) / (2.0 * ap * aq)
+                         * (mag_a + mag_b - man) * 0.5)
+                elif flag == F.FEAT_SIMRATIO:
+                    norm2 = jnp.maximum(sq_a + sq_b - 2.0 * dot, 0.0)
+                    v = dot / (dot + jnp.sqrt(norm2))
+                elif flag == F.FEAT_PEARSON:
+                    ap = jnp.round(mag_a / V)
+                    aq = jnp.round(mag_b / V)
+                    np_ = sq_a - 2.0 * ap * mag_a + V * ap * ap
+                    nq_ = sq_b - 2.0 * aq * mag_b + V * aq * aq
+                    dotc = dot - ap * mag_b - aq * mag_a + V * ap * aq
+                    v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
+                else:
+                    raise AssertionError(flag)
+                cols.append(v)
+            cache = jnp.stack(cols, axis=-1)
+            norm = (cache - mins) / (maxs - mins)
+            norm = jnp.where(is_sim, norm, 1.0 - norm)
+            score = jnp.full(cache.shape[:-1], weights[0])
+            f1 = None
+            for j, (combo, idx) in enumerate(combos):
+                prod = jnp.ones(cache.shape[:-1], jnp.float32)
+                for i in idx:
+                    c = norm[..., i]
+                    prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
+                if j == 0:
+                    f1 = prod
+                score = score + weights[j + 1] * prod
+            return score >= 0.0, f1
+
+        upd = self._build_update(Cp, delta)
+        n_jump = max(1, int(np.ceil(np.log2(max(2, Cp)))))
+
+        @jax.jit
+        def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
+                m_idx, assign0, c_idx0, c_valid0):
+            M = m_idx.shape[0]
+            idxC = jnp.arange(Cp, dtype=jnp.int32)
+
+            def one_iter(carry, _):
+                assign, c_idx, c_valid = carry
+                # --- mean_shift_update (parallel snapshot semantics) -------
+                best_pos, _ = upd(hist, mag, sq, lens, mins, maxs, is_sim,
+                                  weights, m_idx, assign, c_idx, c_valid)
+                ok = (best_pos < M) & c_valid
+                c_idx = jnp.where(
+                    ok, m_idx[jnp.clip(best_pos, 0, M - 1)], c_idx)
+                # --- merge: argmax-f1 classifier-positive in (i, i+delta] --
+                best_f1 = jnp.full((Cp,), _DBL_MIN, jnp.float32)
+                best_t = idxC
+                h_i = hist[c_idx]
+                mg_i, sq_i, ln_i = mag[c_idx], sq[c_idx], lens[c_idx]
+                for o in range(1, delta + 1):
+                    j = idxC + o
+                    okj = (j < Cp) & c_valid
+                    jc = jnp.clip(j, 0, Cp - 1)
+                    okj = okj & c_valid[jc]
+                    a = c_idx[jc]
+                    res, f1 = classify_f1(
+                        hist[a], h_i, mag[a], mg_i, sq[a], sq_i,
+                        lens[a], ln_i, mins, maxs, is_sim, weights)
+                    # ascending o + strict > == reference first-max tie-break
+                    cand = res & okj & (f1 > best_f1)
+                    best_f1 = jnp.where(cand, f1, best_f1)
+                    best_t = jnp.where(cand, jc, best_t)
+                t = jnp.where(c_valid, best_t, idxC)
+                # chain-follow (moves cascade i -> t(i) -> ...): t is
+                # strictly increasing on moved slots, so log2(Cp) jumps
+                T = t
+                for _ in range(n_jump):
+                    T = T[T]
+                deleted = t != idxC
+                new_valid = c_valid & ~deleted
+                # compact kept centers to a dense prefix, renumber members
+                newpos = (jnp.cumsum(new_valid.astype(jnp.int32))
+                          .astype(jnp.int32) - 1)
+                assign = newpos[T[assign]].astype(jnp.int32)
+                dest = jnp.where(new_valid, newpos, Cp)
+                c_idx = jnp.zeros(Cp + 1, c_idx.dtype).at[dest].set(
+                    c_idx)[:Cp]
+                c_valid = jnp.zeros(Cp + 1, bool).at[dest].set(
+                    new_valid)[:Cp]
+                return (assign, c_idx, c_valid), t
+
+            (assign, c_idx, c_valid), t_hist = jax.lax.scan(
+                one_iter, (assign0, c_idx0, c_valid0), None, length=iters)
+            return assign, c_idx, c_valid, t_hist
+
+        return run
+
+    def phase_b_loop(self, members: np.ndarray, assign: np.ndarray,
+                     center_rows: np.ndarray, delta: int, iterations: int):
+        """Run all Phase B iterations on device. Returns (assign [M],
+        center_rows [C'], valid [C'], t_hist [iters, Cp]) as numpy."""
+        C = center_rows.shape[0]
+        Cp = _pad_to_bucket(C)
+        c_idx = np.zeros(Cp, np.int32)
+        c_idx[:C] = center_rows
+        c_valid = np.zeros(Cp, bool)
+        c_valid[:C] = True
+        key = ("phaseb", Cp, delta, iterations)
+        if not hasattr(self, "_upd_cache"):
+            self._upd_cache = {}
+        if key not in self._upd_cache:
+            self._upd_cache[key] = self._build_phaseb(Cp, delta, iterations)
+        fn = self._upd_cache[key]
+        a, ci, cv, th = fn(
+            self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
+            self.mins, self.maxs, self.is_sim, self.weights,
+            jnp.asarray(members.astype(np.int32)),
+            jnp.asarray(assign.astype(np.int32)),
+            jnp.asarray(c_idx), jnp.asarray(c_valid))
+        return (np.asarray(a), np.asarray(ci), np.asarray(cv),
+                np.asarray(th))
+
     def update_banded(self, members: np.ndarray, assign: np.ndarray,
                       center_rows: np.ndarray, delta: int) -> np.ndarray:
         """One full update sweep. members [M] point rows in pool order,

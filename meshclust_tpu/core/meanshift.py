@@ -202,9 +202,46 @@ class MeanShift:
         kept = [c for c in centers if not c.deleted]
         centers[:] = kept
 
+    def run_phase_b_device(self, centers: List[Center]) -> List[Center]:
+        """All update+merge iterations in ONE device call (phase_b_loop),
+        then replay the per-iteration merge targets on host so member-list
+        order matches the reference's extend-in-index-order semantics."""
+        members: List[int] = []
+        assign: List[int] = []
+        for j, c in enumerate(centers):
+            members.extend(c.members)
+            assign.extend([j] * len(c.members))
+        if not members:
+            return centers
+        a_f, c_rows, c_valid, t_hist = self.backend.phase_b_loop(
+            np.asarray(members, np.int64), np.asarray(assign, np.int64),
+            np.asarray([c.center for c in centers], np.int64),
+            self.delta, self.iterations)
+        # replay merge chains for reference member order
+        for t in t_hist:
+            n = len(centers)
+            for i in range(n):
+                ret = int(t[i])
+                if ret > i and ret < n:
+                    centers[ret].members.extend(centers[i].members)
+                    centers[i].deleted = True
+            centers[:] = [c for c in centers if not c.deleted]
+        n_valid = int(c_valid.sum())
+        assert n_valid == len(centers), (n_valid, len(centers))
+        for j, c in enumerate(centers):
+            c.center = int(c_rows[j])
+        return centers
+
     def run(self, bv: BVec) -> List[Center]:
         centers = self.accumulate_all(bv)
         log(f"Accumulated {len(centers)} initial centers")
+        import os
+        fused = os.environ.get("MESHCLUST_FUSED_PHASEB", "1") == "1"
+        if (fused and hasattr(self.backend, "phase_b_loop")
+                and self.iterations > 0 and centers):
+            self.run_phase_b_device(centers)
+            log(f"Update x{self.iterations} done (fused device loop)")
+            return centers
         prog = Progress(self.iterations, "Update")
         for _ in range(self.iterations):
             self.update_once(centers)
