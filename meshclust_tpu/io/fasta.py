@@ -18,6 +18,7 @@ behind the same API (see native/).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Iterable, List, Optional
 
 import numpy as np
@@ -193,10 +194,13 @@ def iter_fasta_records(path: str) -> Iterable[tuple]:
 def read_fasta(path: str) -> List[Sequence]:
     """Parse one multi-FASTA file into preprocessed Sequences.
 
-    Vectorized whole-file path: newline indexing + one LUT pass over the
-    entire byte buffer; per-record work only for records containing N runs
-    or invalid characters. Falls back to the streaming parser on inputs the
-    fast path cannot batch (CR line endings)."""
+    Fast paths in order: native C++ parser (meshclust_tpu/native/, multi-
+    threaded, same semantics — falls back on any error so the numpy path
+    produces the reference-matching diagnostics), then the vectorized numpy
+    whole-file path, then the streaming parser (CR line endings)."""
+    native = _read_fasta_native(path)
+    if native is not None:
+        return native
     try:
         with open(path, "rb") as f:
             data = f.read()
@@ -234,6 +238,28 @@ def read_fasta(path: str) -> List[Sequence]:
         rec = _encode_upper(header, raw)
         if rec is not None:
             out.append(rec)
+    return out
+
+
+def _read_fasta_native(path: str) -> Optional[List[Sequence]]:
+    """C++ parser path; None -> fall through to the numpy paths."""
+    try:
+        from meshclust_tpu import native
+        if not native.enabled():
+            return None
+        parsed = native.parse_fasta_native(path)
+    except Exception:
+        return None
+    if parsed is None:
+        if not os.path.isfile(path):
+            raise FileDoesNotExistError(f'File "{path}" does not exist')
+        return None
+    headers, codes, rec_off, segs, seg_off = parsed
+    out: List[Sequence] = []
+    for i, h in enumerate(headers):
+        c = codes[rec_off[i]: rec_off[i + 1]]
+        s = segs[seg_off[i]: seg_off[i + 1]]
+        out.append(Sequence(header=h, codes=c, segments=s))
     return out
 
 

@@ -1,0 +1,110 @@
+"""Native (C++) fast paths for host-side work.
+
+The reference is a C++ program; its host-bound stages (FASTA parsing and
+encoding — ChromListMaker/ChromosomeOneDigit) get native equivalents here,
+compiled on first use with g++ and loaded via ctypes. Every native path has
+a numpy fallback in the owning module, and the numpy implementation remains
+the tested oracle (tests/test_native_fasta.py asserts byte-equality).
+
+Disable with MESHCLUST_NATIVE=0.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "fasta_parser.cpp")
+_SO = os.path.join(_DIR, "_fasta_parser.so")
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_failed = False
+
+
+class _McParseResult(ctypes.Structure):
+    _fields_ = [
+        ("codes", ctypes.POINTER(ctypes.c_uint8)),
+        ("rec_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("headers", ctypes.c_char_p),
+        ("hdr_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("segs", ctypes.POINTER(ctypes.c_int64)),
+        ("seg_offsets", ctypes.POINTER(ctypes.c_int64)),
+        ("n_rec", ctypes.c_int64),
+        ("n_seg", ctypes.c_int64),
+        ("total_len", ctypes.c_int64),
+        ("hdr_len", ctypes.c_int64),
+        ("err_pos", ctypes.c_int64),
+        ("err_char", ctypes.c_uint8),
+    ]
+
+
+def enabled() -> bool:
+    return os.environ.get("MESHCLUST_NATIVE", "1") == "1"
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """Compile (once, cached as a .so next to the source) and load."""
+    global _lib, _failed
+    if _lib is not None or _failed or not enabled():
+        return _lib
+    with _lock:
+        if _lib is not None or _failed:
+            return _lib
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                tmp = _SO + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, _SRC, "-lpthread"],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _SO)
+            lib = ctypes.CDLL(_SO)
+            lib.mc_parse_fasta.restype = ctypes.POINTER(_McParseResult)
+            lib.mc_parse_fasta.argtypes = [ctypes.c_char_p, ctypes.c_int]
+            lib.mc_free_result.argtypes = [ctypes.POINTER(_McParseResult)]
+            lib.mc_free_result.restype = None
+            _lib = lib
+        except Exception:
+            _failed = True
+    return _lib
+
+
+def parse_fasta_native(path: str, n_threads: int = 0):
+    """Parse + encode one FASTA file natively.
+
+    Returns (headers list[str], codes [total] uint8, rec_offsets [n+1],
+    segs [S,2] int64, seg_offsets [n+1]) or None if the native path is
+    unavailable or reports an error (caller falls back to numpy, which
+    also produces the reference-matching error message)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    res = lib.mc_parse_fasta(path.encode(), n_threads)
+    try:
+        r = res.contents
+        if r.err_pos != -1:
+            return None
+        n = int(r.n_rec)
+        total = int(r.total_len)
+        n_seg = int(r.n_seg)
+        codes = np.ctypeslib.as_array(r.codes, shape=(max(total, 1),))[
+            :total].copy()
+        rec_off = np.ctypeslib.as_array(r.rec_offsets, shape=(n + 1,)).copy()
+        hdr_off = np.ctypeslib.as_array(r.hdr_offsets, shape=(n + 1,)).copy()
+        hdr_blob = ctypes.string_at(r.headers, int(r.hdr_len))
+        segs = np.ctypeslib.as_array(
+            r.segs, shape=(max(n_seg, 1), 2))[:n_seg].copy()
+        seg_off = np.ctypeslib.as_array(r.seg_offsets, shape=(n + 1,)).copy()
+        headers = [
+            hdr_blob[hdr_off[i]: hdr_off[i + 1]].decode("utf-8", "replace")
+            for i in range(n)
+        ]
+        return headers, codes, rec_off, segs, seg_off
+    finally:
+        lib.mc_free_result(res)
