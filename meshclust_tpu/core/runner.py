@@ -19,7 +19,6 @@ from meshclust_tpu.core.trainer import Trainer
 from meshclust_tpu.errors import FileDoesNotExistError
 from meshclust_tpu.io import fasta as fio
 from meshclust_tpu.io.clstr import write_clstr
-from meshclust_tpu.ops import align as A
 from meshclust_tpu.ops import histogram as H
 from meshclust_tpu.utils.log import log
 
@@ -54,19 +53,23 @@ def run(cfg: ClusterConfig) -> dict:
     bits = int(np.dtype(H.storage_dtype(largest_count)).itemsize * 8)
     log(f"Using {bits} bit histograms")
 
+    from meshclust_tpu.ops.align_device import DeviceAligner
+    aligner = DeviceAligner(ps.codes, match=cfg.match, mismatch=cfg.mismatch,
+                            go=cfg.gap_open, gc=cfg.gap_continue)
+
     trainer = Trainer(
         ps, n_points=cfg.sample_size, cutoff=cfg.similarity,
         max_pts_from_one=cfg.pivots, k=0 if cfg.align else k,
         exact=cfg.exact)
+    if (cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_continue) \
+            == (1, -1, 2, 1):
+        trainer._dev_aligner = aligner   # share the staged codes
     model = trainer.train(cfg.acc_cutoff)
 
     params = model.params
 
     def align_fn(center: int, idxs: np.ndarray) -> np.ndarray:
-        return A.align_identity_batch(
-            [(ps.codes[center], ps.codes[int(j)]) for j in idxs],
-            match=cfg.match, mismatch=cfg.mismatch, go=cfg.gap_open,
-            gc=cfg.gap_continue)
+        return aligner.identities([(center, int(j)) for j in idxs])
 
     backend = C.make_backend(ps, params, align_fn=align_fn, exact=cfg.exact)
 

@@ -57,6 +57,7 @@ class Trainer:
         self.max_pts_from_one = max_pts_from_one
         self.k = k
         self.exact = exact
+        self._dev_aligner = None
         self.align_batch = align_batch or self._default_align_batch
 
     def _distance_rows(self, rows: np.ndarray) -> np.ndarray:
@@ -106,10 +107,13 @@ class Trainer:
     # -- alignment labeling -------------------------------------------------
     def _default_align_batch(self, pairs: Sequence[Tuple[int, int]]
                              ) -> np.ndarray:
-        """Batched GlobAlignE identities for index pairs (device kernel)."""
-        codes = self.ps.codes
-        return A.align_identity_batch(
-            [(codes[a], codes[b]) for a, b in pairs])
+        """Batched GlobAlignE identities for index pairs: single-dispatch
+        grid kernel over staged device codes (ops/align_device.py); falls
+        back to the XLA scan path off-TPU."""
+        if self._dev_aligner is None:
+            from meshclust_tpu.ops.align_device import DeviceAligner
+            self._dev_aligner = DeviceAligner(self.ps.codes)
+        return self._dev_aligner.identities(pairs)
 
     # -- pair sampling ------------------------------------------------------
     def split(self) -> List[Tuple[int, int]]:

@@ -1,0 +1,289 @@
+"""Grid-batched device aligner: ALL pair blocks in one dispatch.
+
+`ops/align_pallas.py` runs one 128-lane Pallas call per block; over the
+tunneled TPU each dispatch costs ~25 ms RTT plus a megabyte-scale H2D of the
+packed operands, so a 3000-pair labeling pass spends ~6 s on ~24 dispatches
+of ~20 ms kernels.  This module keeps the same kernel (`align_pallas._kernel`,
+GlobAlignE semantics — /root/reference/src/utility/GlobAlignE.cpp:123-292)
+but drives it through a `pallas_call` GRID over pair blocks:
+
+- one dispatch per call site, not per 128 pairs;
+- operands shipped (or device-gathered) as int8, 4x less H2D than int32;
+- per-block [dmin, dmax] SMEM scalars so short blocks sweep fewer diagonals
+  (pairs are sorted by combined length so blocks are homogeneous);
+- optional staging: the whole corpus' codes live on device ([N, Lpad] int8)
+  and per-call operands are gathered + transposed on device, so a call ships
+  only the pair indices.
+
+Identity is returned as exact int32 (alignment length, match count); the
+float64 division happens on host exactly like the reference's `getIdentity`
+(GlobAlignE.cpp:301-305).
+"""
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meshclust_tpu.ops.align_pallas import LANES, _kernel_body, _round_up
+
+# Gate: pairs with l1 + l2 > 32767 overflow the (len<<16 | matches) packing.
+_PACK_LIMIT = 32767
+# Row-axis cap (VMEM: 13 carried [Rpad, 128] i32 arrays).
+_ROW_CAP = 8192
+
+
+def _grid_kernel(dmin_ref, dmax_ref, a_ref, b_ref, l1_ref, l2_ref, out_ref,
+                 *, match: int, mismatch: int, go: int, gc: int):
+    g = pl.program_id(0)
+    _kernel_body(dmin_ref[g], dmax_ref[g], a_ref, b_ref, l1_ref, l2_ref,
+                 out_ref, match=match, mismatch=mismatch, go=go, gc=gc)
+
+
+def _grid_call(dmin_g, dmax_g, a_t, b_t, l1, l2, *, G: int, match: int,
+               mismatch: int, go: int, gc: int, interpret: bool = False):
+    """pallas_call with a G-block grid. a_t [Rpad, G*128] int8,
+    b_t [BL, G*128] int8, l1/l2 [1, G*128] i32, dmin_g/dmax_g [G] i32
+    (scalar-prefetched per-block diagonal bounds)."""
+    Rpad = a_t.shape[0]
+    BL = b_t.shape[0]
+    kern = functools.partial(_grid_kernel, match=match, mismatch=mismatch,
+                             go=go, gc=gc)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((Rpad, LANES), lambda g, dmin, dmax: (0, g)),
+            pl.BlockSpec((BL, LANES), lambda g, dmin, dmax: (0, g)),
+            pl.BlockSpec((1, LANES), lambda g, dmin, dmax: (0, g)),
+            pl.BlockSpec((1, LANES), lambda g, dmin, dmax: (0, g)),
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda g, dmin, dmax: (0, g)),
+    )
+    out = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((8, G * LANES), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(dmin_g.reshape(G), dmax_g.reshape(G), a_t, b_t, l1, l2)
+    return out[1], out[2]          # alen, amatch (int32, exact)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "G", "match", "mismatch", "go", "gc", "interpret"))
+def _align_packed(a_t, b_t, l1, l2, dmin_g, dmax_g, *, G, match, mismatch,
+                  go, gc, interpret=False):
+    return _grid_call(dmin_g, dmax_g, a_t, b_t, l1, l2, G=G, match=match,
+                      mismatch=mismatch, go=go, gc=gc, interpret=interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("Rpad", "BL", "G"))
+def _gather_operands(codes, idx_a, idx_b, l1, l2, *, Rpad, BL, G):
+    """Device-side gather + transpose from staged codes [N, Lpad] int8.
+
+    Kept in its OWN jit (cheap XLA-only compile, keyed on corpus shape) so
+    the expensive Mosaic program (`_align_packed`, keyed only on block
+    shapes) is shared across corpora and pre-compiled by warmups. The
+    intermediate operands never leave the device between the two dispatches.
+    """
+    P = G * LANES
+    Lpad = codes.shape[1]
+    a = jnp.take(codes, idx_a, axis=0)               # [P, Lpad] int8
+    b = jnp.take(codes, idx_b, axis=0)
+    need = Rpad - 1
+    if need <= Lpad:
+        a_sl = a[:, :need]
+    else:
+        a_sl = jnp.pad(a, ((0, 0), (0, need - Lpad)))
+    a_t = jnp.concatenate(
+        [jnp.zeros((P, 1), jnp.int8), a_sl], axis=1).T   # [Rpad, P]
+    if BL <= Lpad:
+        b_sl = b[:, :BL]
+    else:
+        b_sl = jnp.pad(b, ((0, 0), (0, BL - Lpad)))
+    b_t = b_sl.T                                      # [BL, P]
+    s = (l1 + l2).reshape(G, LANES)
+    dmin_g = jnp.min(s, axis=1, keepdims=True).astype(jnp.int32)
+    dmax_g = jnp.max(s, axis=1, keepdims=True).astype(jnp.int32)
+    return (a_t, b_t, l1.reshape(1, P), l2.reshape(1, P), dmin_g, dmax_g)
+
+
+def _bucket_rows(x: int) -> int:
+    """Quarter-octave bucket for the DP row axis (<=25% pad waste)."""
+    if x <= 64:
+        return 64
+    step = max(64, (1 << (int(x - 1).bit_length() - 1)) // 4)
+    return ((x + step - 1) // step) * step
+
+
+def _bucket_pow2(x: int, lo: int = 1) -> int:
+    b = lo
+    while b < x:
+        b *= 2
+    return b
+
+
+# Max lanes per dispatch; larger pair lists are chunked sequentially.
+_MAX_G = 32
+
+
+class DeviceAligner:
+    """Batched GlobAlignE identities addressed by sequence index.
+
+    codes: per-sequence uint8 digit arrays ('N' kept as 78 — N==N matches,
+    ref ChromosomeOneDigit semantics). On TPU backends the whole corpus is
+    staged on device once (int8) when it fits `stage_mb`; otherwise operands
+    are packed host-side — both paths use the single-dispatch grid kernel.
+    """
+
+    def __init__(self, codes: List[np.ndarray], match: int = 1,
+                 mismatch: int = -1, go: int = 2, gc: int = 1,
+                 stage_mb: Optional[int] = None):
+        self.codes = codes
+        self.lengths = np.asarray([len(c) for c in codes], np.int64)
+        self.match, self.mismatch, self.go, self.gc = match, mismatch, go, gc
+        if stage_mb is None:
+            stage_mb = int(os.environ.get("MESHCLUST_ALIGN_STAGE_MB", "512"))
+        self.stage_mb = stage_mb
+        self._staged = None     # (codes_dev [N, Lpad] int8, Lpad)
+
+    # -- capability gates ----------------------------------------------------
+    def _on_tpu(self) -> bool:
+        if os.environ.get("MESHCLUST_PALLAS_ALIGN", "1") != "1":
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
+
+    def _stage(self):
+        if self._staged is None:
+            lmax = int(self.lengths.max()) if len(self.codes) else 8
+            lpad = _round_up(max(lmax, 8), 128)
+            mat = np.zeros((len(self.codes), lpad), np.int8)
+            for i, c in enumerate(self.codes):
+                mat[i, : len(c)] = c
+            self._staged = (jax.device_put(mat), lpad)
+        return self._staged
+
+    def _can_stage(self) -> bool:
+        lmax = int(self.lengths.max()) if len(self.codes) else 8
+        lpad = _round_up(max(lmax, 8), 128)
+        return len(self.codes) * lpad <= self.stage_mb * (1 << 20)
+
+    # -- public API ----------------------------------------------------------
+    def identities(self, pairs: Sequence[Tuple[int, int]]) -> np.ndarray:
+        """Float64 identities for (index_a, index_b) pairs (exact host
+        division of exact int32 match/length counts)."""
+        n = len(pairs)
+        if n == 0:
+            return np.zeros(0, np.float64)
+        ia = np.asarray([p for p, _ in pairs], np.int64)
+        ib = np.asarray([q for _, q in pairs], np.int64)
+        l1 = self.lengths[ia]
+        l2 = self.lengths[ib]
+        if (not self._on_tpu() or (l1 + l2).max() + 2 > _PACK_LIMIT
+                or l1.max() > _ROW_CAP):
+            from meshclust_tpu.ops import align as A
+            return A.align_identity_batch(
+                [(self.codes[a], self.codes[b]) for a, b in pairs],
+                match=self.match, mismatch=self.mismatch, go=self.go,
+                gc=self.gc)
+        alen, amatch = self.counts(pairs)
+        return amatch.astype(np.float64) / np.maximum(
+            alen.astype(np.float64), 1.0)
+
+    def counts(self, pairs: Sequence[Tuple[int, int]]
+               ) -> Tuple[np.ndarray, np.ndarray]:
+        """Exact (alignment_length, matches) int arrays — device grid path
+        only (callers gate via identities())."""
+        n = len(pairs)
+        if n == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        ia = np.asarray([p for p, _ in pairs], np.int64)
+        ib = np.asarray([q for _, q in pairs], np.int64)
+        l1 = self.lengths[ia]
+        l2 = self.lengths[ib]
+        alen = np.zeros(n, np.int64)
+        amatch = np.zeros(n, np.int64)
+        # group by row bucket so one oversized seq1 doesn't pad everything
+        groups: dict = {}
+        for t in range(n):
+            groups.setdefault(_bucket_rows(int(l1[t])), []).append(t)
+        staged = self._can_stage()
+        for ba, idxs in groups.items():
+            idxs.sort(key=lambda t: int(l1[t] + l2[t]))
+            bb = _bucket_pow2(int(l2[np.asarray(idxs)].max()), 64)
+            for s in range(0, len(idxs), _MAX_G * LANES):
+                chunk = np.asarray(idxs[s: s + _MAX_G * LANES])
+                al, am = self._run_chunk(ia[chunk], ib[chunk], l1[chunk],
+                                         l2[chunk], ba, bb, staged)
+                alen[chunk] = al
+                amatch[chunk] = am
+        return alen, amatch
+
+    def _run_chunk(self, ia, ib, l1, l2, ba: int, bb: int, staged: bool):
+        n = len(ia)
+        # Staged operands ship only indices, so a FIXED grid size (one
+        # compiled program per row bucket) costs nothing: full-pad blocks
+        # get l1=l2=1 => dmax=2 => the diagonal sweep is empty. Host-packed
+        # operands ship [Rpad+BL, G*128] bytes, so size the grid to the data.
+        nblocks = (n + LANES - 1) // LANES
+        G = _MAX_G if staged else _bucket_pow2(nblocks)
+        G = max(G, nblocks)
+        P = G * LANES
+        nfull = nblocks * LANES
+        # lanes n..nfull (partial tail block): replicate the last (shortest)
+        # pair so that block's dmin/dmax stay tight; full-pad blocks are
+        # degenerate 1x1 pairs and sweep zero diagonals.
+        pad_ia = np.zeros(P, np.int32)
+        pad_ib = np.zeros(P, np.int32)
+        pad_l1 = np.ones(P, np.int32)
+        pad_l2 = np.ones(P, np.int32)
+        pad_ia[n:nfull] = ia[-1]
+        pad_ib[n:nfull] = ib[-1]
+        pad_l1[n:nfull] = l1[-1]
+        pad_l2[n:nfull] = l2[-1]
+        pad_ia[:n] = ia
+        pad_ib[:n] = ib
+        pad_l1[:n] = l1
+        pad_l2[:n] = l2
+        Rpad = _round_up(ba + 1, 8)
+        BL = _round_up(ba + bb + 2, 8)
+        if staged:
+            codes_dev, _ = self._stage()
+            a_t, b_t, l1r, l2r, dmin_g, dmax_g = _gather_operands(
+                codes_dev, jnp.asarray(pad_ia), jnp.asarray(pad_ib),
+                jnp.asarray(pad_l1), jnp.asarray(pad_l2), Rpad=Rpad, BL=BL,
+                G=G)
+            alen, amatch = _align_packed(
+                a_t, b_t, l1r, l2r, dmin_g, dmax_g, G=G, match=self.match,
+                mismatch=self.mismatch, go=self.go, gc=self.gc)
+        else:
+            a_t = np.zeros((Rpad, P), np.int8)
+            b_t = np.zeros((BL, P), np.int8)
+            for p in range(P):
+                ca = self.codes[int(pad_ia[p])]
+                cb = self.codes[int(pad_ib[p])]
+                a_t[1: len(ca) + 1, p] = ca
+                b_t[: len(cb), p] = cb
+            sums = (pad_l1 + pad_l2).reshape(G, LANES)
+            dmin_g = sums.min(axis=1, keepdims=True).astype(np.int32)
+            dmax_g = sums.max(axis=1, keepdims=True).astype(np.int32)
+            alen, amatch = _align_packed(
+                jnp.asarray(a_t), jnp.asarray(b_t),
+                jnp.asarray(pad_l1.reshape(1, P)),
+                jnp.asarray(pad_l2.reshape(1, P)), jnp.asarray(dmin_g),
+                jnp.asarray(dmax_g), G=G, match=self.match,
+                mismatch=self.mismatch, go=self.go, gc=self.gc)
+        return (np.asarray(alen, np.int64)[:n],
+                np.asarray(amatch, np.int64)[:n])
+

@@ -41,13 +41,22 @@ def _roll1(x):
 
 def _kernel(dmin_ref, dmax_ref, a_ref, b_ref, l1_ref, l2_ref, out_ref, *,
             match: int, mismatch: int, go: int, gc: int):
+    """Single-block entry: [1,1] SMEM dmin/dmax (ops/align_device.py drives
+    the same body through a grid with scalar-prefetched per-block bounds)."""
+    _kernel_body(dmin_ref[0, 0], dmax_ref[0, 0], a_ref, b_ref, l1_ref,
+                 l2_ref, out_ref, match=match, mismatch=mismatch, go=go,
+                 gc=gc)
+
+
+def _kernel_body(dmin_s, dmax_s, a_ref, b_ref, l1_ref, l2_ref, out_ref, *,
+                 match: int, mismatch: int, go: int, gc: int):
     Rpad, P = a_ref.shape
     i32 = jnp.int32
-    l1 = l1_ref[:]                                   # [1, P]
-    l2 = l2_ref[:]
+    l1 = l1_ref[:].astype(i32)                       # [1, P]
+    l2 = l2_ref[:].astype(i32)
     neg = neg_inf_sentinel(l1, l2, mismatch, go, gc).astype(i32)
     rows = jax.lax.broadcasted_iota(i32, (Rpad, P), 0)
-    A = a_ref[:]
+    A = a_ref[:].astype(i32)   # int8 blocks OK: codes are 0..3 plus 'N'=78
     # NOTE: every fori_loop carry must be initialized through a rows-dependent
     # select — pure broadcasts/constants get a Mosaic "replicated" layout that
     # cannot be unified with the computed (materialized) body values.
@@ -66,7 +75,7 @@ def _kernel(dmin_ref, dmax_ref, a_ref, b_ref, l1_ref, l2_ref, out_ref, *,
     LG1 = jnp.where(rows == 1, -(go + gc), negf).astype(i32)
     one16 = jnp.where(never, 0, _ONE16).astype(i32)  # len=1, id=0
     MLI1, ULI1, LLI1 = one16, one16, one16
-    bdiag = jnp.where(rows == 0, b_ref[0:1, :], 0).astype(i32)
+    bdiag = jnp.where(rows == 0, b_ref[0:1, :].astype(i32), 0).astype(i32)
 
     cols1 = jax.lax.broadcasted_iota(i32, (1, P), 1)
     acc0 = jnp.where(cols1 < 0, 1, 0).astype(i32)
@@ -77,7 +86,7 @@ def _kernel(dmin_ref, dmax_ref, a_ref, b_ref, l1_ref, l2_ref, out_ref, *,
          M1, UG1, LG1, MLI1, ULI1, LLI1, bdiag, accs) = carry
 
         # B_d[i] = seq2[d-1-i]: shift down, new head seq2[d-1]
-        bnew = b_ref[pl.ds(d - 1, 1), :]
+        bnew = b_ref[pl.ds(d - 1, 1), :].astype(i32)
         bdiag = jnp.where(rows == 0, bnew, _roll1(bdiag))
         s_sub = jnp.where(A == bdiag, match, mismatch).astype(i32)
 
@@ -135,8 +144,8 @@ def _kernel(dmin_ref, dmax_ref, a_ref, b_ref, l1_ref, l2_ref, out_ref, *,
 
     carry = (M2, UG2, LG2, MLI2, ULI2, LLI2,
              M1, UG1, LG1, MLI1, ULI1, LLI1, bdiag, accs0)
-    dmin = jnp.maximum(dmin_ref[0, 0], 2)
-    dmax = dmax_ref[0, 0]
+    dmin = jnp.maximum(dmin_s, 2)
+    dmax = dmax_s
     carry = jax.lax.fori_loop(
         2, jnp.minimum(dmin, dmax + 1),
         lambda d, c: body(d, c, capture=False), carry)
