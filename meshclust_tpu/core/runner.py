@@ -21,6 +21,7 @@ from meshclust_tpu.io import fasta as fio
 from meshclust_tpu.io.clstr import write_clstr
 from meshclust_tpu.ops import histogram as H
 from meshclust_tpu.utils.log import log
+from meshclust_tpu.utils import perf
 
 
 def sort_files(files: List[str]) -> List[str]:
@@ -29,6 +30,8 @@ def sort_files(files: List[str]) -> List[str]:
 
 
 def run(cfg: ClusterConfig) -> dict:
+    from meshclust_tpu.utils import jaxcache
+    jaxcache.enable()
     cfg = cfg.finalize()
     files = sort_files(list(cfg.files))
     if not files:
@@ -38,7 +41,8 @@ def run(cfg: ClusterConfig) -> dict:
             raise FileDoesNotExistError(f'File "{f}" does not exist')
 
     log("Reading in sequences")
-    per_file = [fio.read_fasta(f) for f in files]
+    with perf.phase("read"):
+        per_file = [fio.read_fasta(f) for f in files]
     seqs = [s for fs in per_file for s in fs]
     if not seqs:
         raise FileDoesNotExistError("no sequences found")
@@ -48,7 +52,8 @@ def run(cfg: ClusterConfig) -> dict:
     log(f"Using k = {k}")
 
     log(f"Counting {k}-mers")
-    ps = build_points(seqs, k, use_pallas=cfg.use_pallas)
+    with perf.phase("featurize"):
+        ps = build_points(seqs, k, use_pallas=cfg.use_pallas)
     largest_count = int(ps.hist.max())
     bits = int(np.dtype(H.storage_dtype(largest_count)).itemsize * 8)
     log(f"Using {bits} bit histograms")
@@ -64,7 +69,8 @@ def run(cfg: ClusterConfig) -> dict:
     if (cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_continue) \
             == (1, -1, 2, 1):
         trainer._dev_aligner = aligner   # share the staged codes
-    model = trainer.train(cfg.acc_cutoff)
+    with perf.phase("train"):
+        model = trainer.train(cfg.acc_cutoff)
 
     params = model.params
 
@@ -80,10 +86,15 @@ def run(cfg: ClusterConfig) -> dict:
 
     ms = MeanShift(ps, backend, sim=cfg.similarity, delta=cfg.delta,
                    iterations=cfg.iterations)
-    centers = ms.run(bv)
+    with perf.phase("cluster"):
+        centers = ms.run(bv)
 
     log("Printing output")
-    write_clstr(cfg.output, centers, ps.headers, ps.lengths)
+    with perf.phase("output"):
+        write_clstr(cfg.output, centers, ps.headers, ps.lengths)
+    if os.environ.get("MESHCLUST_PERF", "0") == "1":
+        import sys
+        print(perf.format_report(), file=sys.stderr, flush=True)
     return {
         "centers": centers,
         "pointset": ps,

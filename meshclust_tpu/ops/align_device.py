@@ -109,7 +109,11 @@ def _gather_operands(codes, idx_a, idx_b, l1, l2, *, Rpad, BL, G):
         b_sl = b[:, :BL]
     else:
         b_sl = jnp.pad(b, ((0, 0), (0, BL - Lpad)))
-    b_t = b_sl.T                                      # [BL, P]
+    # seq2 stays int32 in VMEM: the kernel reads one dynamic row per
+    # diagonal (b_ref[pl.ds(d-1,1),:]) and Mosaic only supports dynamic
+    # sublane indexing on 32-bit memrefs (int8 tiles are 32x128, so the
+    # index would need to be provably 32-aligned, which d-1 is not).
+    b_t = b_sl.T.astype(jnp.int32)                    # [BL, P]
     s = (l1 + l2).reshape(G, LANES)
     dmin_g = jnp.min(s, axis=1, keepdims=True).astype(jnp.int32)
     dmax_g = jnp.max(s, axis=1, keepdims=True).astype(jnp.int32)
@@ -190,14 +194,19 @@ class DeviceAligner:
         ib = np.asarray([q for _, q in pairs], np.int64)
         l1 = self.lengths[ia]
         l2 = self.lengths[ib]
+        from meshclust_tpu.utils import perf
+        perf.add("nw_cells", float((l1 * l2).sum()))
+        perf.add("nw_pairs", n)
         if (not self._on_tpu() or (l1 + l2).max() + 2 > _PACK_LIMIT
                 or l1.max() > _ROW_CAP):
             from meshclust_tpu.ops import align as A
-            return A.align_identity_batch(
-                [(self.codes[a], self.codes[b]) for a, b in pairs],
-                match=self.match, mismatch=self.mismatch, go=self.go,
-                gc=self.gc)
-        alen, amatch = self.counts(pairs)
+            with perf.phase("align"):
+                return A.align_identity_batch(
+                    [(self.codes[a], self.codes[b]) for a, b in pairs],
+                    match=self.match, mismatch=self.mismatch, go=self.go,
+                    gc=self.gc)
+        with perf.phase("align"):
+            alen, amatch = self.counts(pairs)
         return amatch.astype(np.float64) / np.maximum(
             alen.astype(np.float64), 1.0)
 
@@ -212,6 +221,16 @@ class DeviceAligner:
         ib = np.asarray([q for _, q in pairs], np.int64)
         l1 = self.lengths[ia]
         l2 = self.lengths[ib]
+        if not self._on_tpu():
+            raise RuntimeError(
+                "DeviceAligner.counts() requires the TPU grid kernel; "
+                "call identities() for the gated/fallback path")
+        if (l1 + l2).max() + 2 > _PACK_LIMIT or l1.max() > _ROW_CAP:
+            raise ValueError(
+                f"pair too long for the packed grid kernel "
+                f"(l1+l2 max {int((l1 + l2).max())} > {_PACK_LIMIT - 2} or "
+                f"l1 max {int(l1.max())} > {_ROW_CAP}); "
+                "call identities() for the gated/fallback path")
         alen = np.zeros(n, np.int64)
         amatch = np.zeros(n, np.int64)
         # group by row bucket so one oversized seq1 doesn't pad everything
@@ -241,8 +260,9 @@ class DeviceAligner:
         G = max(G, nblocks)
         P = G * LANES
         nfull = nblocks * LANES
-        # lanes n..nfull (partial tail block): replicate the last (shortest)
-        # pair so that block's dmin/dmax stay tight; full-pad blocks are
+        # lanes n..nfull (partial tail block): replicate the last (longest,
+        # since idxs is sorted ascending by combined length) pair so the tail
+        # block's dmin never drops below its real lanes; full-pad blocks are
         # degenerate 1x1 pairs and sweep zero diagonals.
         pad_ia = np.zeros(P, np.int32)
         pad_ib = np.zeros(P, np.int32)
@@ -269,10 +289,14 @@ class DeviceAligner:
                 mismatch=self.mismatch, go=self.go, gc=self.gc)
         else:
             a_t = np.zeros((Rpad, P), np.int8)
-            b_t = np.zeros((BL, P), np.int8)
+            b_t = np.zeros((BL, P), np.int32)   # int32: see _gather_operands
             for p in range(P):
-                ca = self.codes[int(pad_ia[p])]
-                cb = self.codes[int(pad_ib[p])]
+                # Pad lanes (p >= n) replicate the last real pair but may be
+                # declared shorter than the real sequence (full-pad blocks
+                # carry l1 = l2 = 1): truncate to the declared lengths so the
+                # copy always fits the (Rpad, BL) bucket.
+                ca = self.codes[int(pad_ia[p])][: int(pad_l1[p])]
+                cb = self.codes[int(pad_ib[p])][: int(pad_l2[p])]
                 a_t[1: len(ca) + 1, p] = ca
                 b_t[: len(cb), p] = cb
             sums = (pad_l1 + pad_l2).reshape(G, LANES)

@@ -11,13 +11,21 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "1")
+_TPU_TIER = os.environ.get("MESHCLUST_TEST_TPU") == "1"
+if not _TPU_TIER:
+    os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402
 
 # The axon TPU plugin ignores JAX_PLATFORMS=cpu; the config knob works.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# MESHCLUST_TEST_TPU=1 keeps the real backend so the `-m tpu` tier exercises
+# actual Mosaic compilation (the round-1 failure mode: every Pallas test ran
+# interpret-mode on CPU, so an uncompilable kernel shipped). The tier also
+# keeps x64 OFF — production never enables it, and the int32/f32 kernels are
+# what we want compiled exactly as the CLI compiles them.
+if not _TPU_TIER:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
