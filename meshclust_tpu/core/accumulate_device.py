@@ -23,13 +23,20 @@ Window bounds reproduce bvec::get_range semantics exactly (SURVEY C7):
   - empty-bin fallbacks: front -> first live slot of first non-empty bin,
     back -> FIRST live slot of the last non-empty bin (the truncation quirk).
 
-Live ranks use a per-iteration prefix sum over the active mask; in-bin
-lower/upper bounds use searchsorted on the static global length array
-(valid because the flattened order is non-decreasing).
+Work scales with LIVE candidates, not N (the round-1 version classified all
+N slots every inner iteration — O(N^2 V) over a run): each inner iteration
+sweeps the live slots inside the window in fixed [TILE] chunks, gathering
+rows by live-rank (searchsorted over the active prefix sum), exactly like
+the reference only ever touches the live points the bvec still holds. The
+member-mean argmin (get_mean, ClusterFactory.cpp:382-425) likewise sweeps an
+incrementally-maintained member list instead of masking all N rows. Per-run
+HBM traffic drops from (#iterations x N x V) to (#iterations x window_live
+x V) — the same asymptotics as the reference, at vector width.
 
 Classifier math matches core/classify.DeviceBackend (f32); distance_d keeps
 the reference's per-element truncation. All reductions take the FIRST
-occurrence on ties (slot order == the reference's iteration order).
+occurrence on ties (slot order == the reference's iteration order; members
+in (stamp, slot) order == the reference's member-list order).
 """
 from __future__ import annotations
 
@@ -91,8 +98,17 @@ def _classify(h_w, h_c, mag_w, mag_c, sq_w, sq_c, len_w, len_c, V,
     return score >= 0.0, f1
 
 
+def _pick_tile(N: int) -> int:
+    """Static sweep-chunk width: one tile for small runs, bounded VMEM
+    working set ([TILE, V] f32 gather) for large ones."""
+    t = 512
+    while t < N and t < 4096:
+        t *= 2
+    return t
+
+
 def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
-                     singles, combos):
+                     singles, combos, tile: int = 0):
     """Build the jitted full-phase-A function.
 
     Static: N slots, V lanes, nbins, Cmax center capacity, similarity, the
@@ -101,31 +117,28 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
     """
     singles = tuple(singles)
     combos = tuple((c, tuple(ix)) for c, ix in combos)
+    T = tile or _pick_tile(N)
 
     def fn(hist_s, mag_s, sq_s, len_s, bin_of, bin_start, bin_end,
            begin_bounds, mins, maxs, is_sim, weights):
         i32 = jnp.int32
-        slots = jnp.arange(N, dtype=i32)
         len_i = len_s.astype(i32)
+        t_ar = jnp.arange(T, dtype=i32)
 
         def kth_active(qext, k):
             """Slot index of the k-th (0-based) active slot; N if none."""
             s = jnp.searchsorted(qext, k + 1, side="left") - 1
             return jnp.where(k < qext[N], s, N).astype(i32)
 
-        def live_bounds(active, qext):
-            """(first live slot per bin or N, last live slot per bin or -1,
-            live counts per bin)."""
+        def rank_to_slot(qext, ranks):
+            """Vectorized kth_active for a [T] rank tile (invalid -> N)."""
+            s = jnp.searchsorted(qext, ranks + 1, side="left") - 1
+            return jnp.where(ranks < qext[N], s, N).astype(i32)
+
+        def live_bounds(qext):
+            """(first live slot per bin or N, live counts per bin)."""
             cnt = qext[bin_end] - qext[bin_start]
-            first = jnp.where(
-                cnt > 0,
-                jax.vmap(lambda bs, c: kth_active(qext, qext[bs]))(
-                    bin_start, cnt), N)
-            last = jnp.where(
-                cnt > 0,
-                jax.vmap(lambda be: kth_active(qext, qext[be] - 1))(
-                    bin_end), -1)
-            return first.astype(i32), last.astype(i32), cnt.astype(i32)
+            return cnt.astype(i32)
 
         def index_of(length):
             """bvec::index_of (low, high) over begin_bounds."""
@@ -140,8 +153,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                              jnp.maximum(high, nbins - 1), high)
             return low.astype(i32), high.astype(i32)
 
-        def window_bounds(length, active, qext, first_live, last_live,
-                          live_cnt):
+        def window_bounds(length, qext, live_cnt):
             """Absolute inclusive slot range [w0, w1] of get_range(
             length*sim, length/sim) on the live structure."""
             lo = jnp.floor(
@@ -156,7 +168,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             def front_nonempty(b):
                 bs, be = bin_start[b], bin_end[b]
                 sz = live_cnt[b]
-                l0 = len_i[first_live[b]]
+                l0 = len_i[kth_active(qext, qext[bs])]
                 # lower_bound among live of bin b for lo:
                 t = jnp.clip(jnp.searchsorted(len_i, lo, side="left"),
                              bs, be).astype(i32)
@@ -178,7 +190,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             def back_nonempty(b):
                 bs, be = bin_start[b], bin_end[b]
                 sz = live_cnt[b]
-                llast = len_i[last_live[b]]
+                llast = len_i[kth_active(qext, qext[be] - 1)]
                 tl = jnp.clip(jnp.searchsorted(len_i, hi, side="left"),
                               bs, be).astype(i32)
                 tu = jnp.clip(jnp.searchsorted(len_i, hi, side="right"),
@@ -201,70 +213,132 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                 jnp.where(any_live, last_nonempty_first_slot(), i32(-1)))
             return w0, w1
 
+        def classify_window(qext, w0, w1, last_slot, owner, stamp, active,
+                            mem_idx, mem_count, sumvec, count, t, c):
+            """Sweep live slots in [w0, w1] in [T] rank tiles: classify vs
+            the center at last_slot, absorb positives in place (owner/stamp/
+            active/members/sumvec/count), track (first-max f1 slot, any_pos).
+            Absorbing while sweeping is safe: ranks are snapshot from the
+            entry qext, and each live slot appears in exactly one tile."""
+            h_c = hist_s[last_slot].astype(jnp.float32)
+            mg_c = mag_s[last_slot]
+            sq_c = sq_s[last_slot]
+            ln_c = len_s[last_slot]
+            r0 = qext[jnp.clip(w0, 0, N)]
+            r1 = qext[jnp.clip(w1, -1, N - 1) + 1]   # exclusive live rank end
+            r1 = jnp.where(w1 >= w0, r1, r0)
+
+            def tile_body(tstate):
+                (r, owner, stamp, active, mem_idx, mem_count, sumvec,
+                 count, best_f1, best_slot, any_pos) = tstate
+                ranks = r + t_ar
+                ok = ranks < r1
+                ids = rank_to_slot(qext, jnp.where(ok, ranks, qext[N]))
+                ids_c = jnp.clip(ids, 0, N - 1)
+                h_w = hist_s[ids_c].astype(jnp.float32)
+                pos, f1 = _classify(
+                    h_w, h_c, mag_s[ids_c], mg_c, sq_s[ids_c], sq_c,
+                    len_s[ids_c], ln_c, V, singles, combos,
+                    mins, maxs, is_sim, weights)
+                pos = pos & ok
+                # first-max f1 over the whole window, slot order (strict >)
+                f1m = jnp.where(ok, f1, -INF)
+                tb = jnp.argmax(f1m).astype(i32)
+                tb_f1 = f1m[tb]
+                better = tb_f1 > best_f1
+                best_f1 = jnp.where(better, tb_f1, best_f1)
+                best_slot = jnp.where(better, ids[tb], best_slot)
+                # absorb positives (no-ops when pos is empty)
+                pids = jnp.where(pos, ids, N)       # invalid -> dropped
+                owner = owner.at[pids].set(c, mode="drop")
+                stamp = stamp.at[pids].set(t, mode="drop")
+                active = active.at[pids].set(False, mode="drop")
+                # append to member list in slot order
+                npos = jnp.cumsum(pos.astype(i32))
+                dest = jnp.where(pos, mem_count + npos - 1, N)
+                mem_idx = mem_idx.at[dest].set(ids, mode="drop")
+                mem_count = mem_count + npos[T - 1]
+                sumvec = sumvec + jnp.sum(
+                    jnp.where(pos[:, None], h_w, 0.0), axis=0)
+                count = count + npos[T - 1].astype(jnp.float32)
+                any_pos = any_pos | jnp.any(pos)
+                return (r + T, owner, stamp, active, mem_idx, mem_count,
+                        sumvec, count, best_f1, best_slot, any_pos)
+
+            init = (r0, owner, stamp, active, mem_idx, mem_count, sumvec,
+                    count, -INF, i32(-1), jnp.bool_(False))
+            out = jax.lax.while_loop(lambda s: s[0] < r1, tile_body, init)
+            (_, owner, stamp, active, mem_idx, mem_count, sumvec, count,
+             _, best_slot, any_pos) = out
+            return (owner, stamp, active, mem_idx, mem_count, sumvec,
+                    count, best_slot, any_pos)
+
+        def mean_argmin(mem_idx, mem_count, sumvec, count):
+            """get_mean: mean histogram then member argmin of distance_d
+            (first min in member-insertion order), swept in [T] tiles."""
+            mean = sumvec / jnp.maximum(count, 1.0)
+            cw = jnp.floor(mean)
+
+            def tile_body(tstate):
+                m, best_d, best_slot = tstate
+                pos = m + t_ar
+                ok = pos < mem_count
+                ids = mem_idx[jnp.clip(pos, 0, N - 1)]
+                ids_c = jnp.clip(ids, 0, N - 1)
+                h_m = hist_s[ids_c].astype(jnp.float32)
+                dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw[None, :]), axis=1)
+                mg = jnp.sum(jnp.floor(h_m + mean[None, :]), axis=1)
+                frac = dist / jnp.maximum(mg, 1.0)
+                d = jnp.where(ok, 10000.0 * (1.0 - frac * frac), INF)
+                tb = jnp.argmin(d).astype(i32)
+                better = d[tb] < best_d      # strict < keeps first min
+                best_d = jnp.where(better, d[tb], best_d)
+                best_slot = jnp.where(better, ids[tb], best_slot)
+                return (m + T, best_d, best_slot)
+
+            out = jax.lax.while_loop(
+                lambda s: s[0] < mem_count, tile_body,
+                (i32(0), INF, i32(-1)))
+            return out[2]
+
         def inner_body(state):
             (active, owner, stamp, t, last_slot, c, sumvec, count,
-             is_min, _prev_best) = state
+             mem_idx, mem_count, is_min, _prev_best) = state
             qext = jnp.concatenate(
                 [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
-            first_live, last_live, live_cnt = live_bounds(active, qext)
+            live_cnt = live_bounds(qext)
             length = len_i[last_slot]
-            w0, w1 = window_bounds(length, active, qext, first_live,
-                                   last_live, live_cnt)
-            in_win = active & (slots >= w0) & (slots <= w1)
-            h_c = hist_s[last_slot]
-            pos, f1 = _classify(
-                hist_s, h_c, mag_s, mag_s[last_slot], sq_s, sq_s[last_slot],
-                len_s, len_s[last_slot], V, singles, combos,
-                mins, maxs, is_sim, weights)
-            pos = pos & in_win
-            f1w = jnp.where(in_win, f1, -INF)
-            best = jnp.argmax(f1w).astype(i32)
-            best = jnp.where(jnp.any(in_win), best, i32(-1))
-            any_pos = jnp.any(pos)
+            w0, w1 = window_bounds(length, qext, live_cnt)
+            (owner, stamp, active, mem_idx, mem_count, sumvec, count,
+             best, any_pos) = classify_window(
+                qext, w0, w1, last_slot, owner, stamp, active,
+                mem_idx, mem_count, sumvec, count, t, c)
 
-            def absorb(_):
-                # absorb positives, then get_mean: member argmin of
-                # distance_d to the member-mean histogram
-                owner2 = jnp.where(pos, c, owner)
-                stamp2 = jnp.where(pos, t, stamp)
-                active2 = active & ~pos
-                sumvec2 = sumvec + jnp.sum(
-                    jnp.where(pos[:, None], hist_s, 0.0), axis=0)
-                count2 = count + jnp.sum(pos.astype(jnp.float32))
-                mean = sumvec2 / jnp.maximum(count2, 1.0)
-                member = owner2 == c
-                cw = jnp.floor(mean)
-                dist = 2.0 * jnp.sum(jnp.minimum(hist_s, cw[None, :]),
-                                     axis=1)
-                mg = jnp.sum(jnp.floor(hist_s + mean[None, :]), axis=1)
-                frac = dist / jnp.maximum(mg, 1.0)
-                d = jnp.where(member, 10000.0 * (1.0 - frac * frac), INF)
-                new_last = jnp.argmin(d).astype(i32)
-                return (active2, owner2, stamp2, sumvec2, count2, new_last)
-
-            def keep(_):
-                return (active, owner, stamp, sumvec, count, last_slot)
-
-            (active, owner, stamp, sumvec, count, last_slot) = jax.lax.cond(
-                any_pos, absorb, keep, None)
+            last_slot = jax.lax.cond(
+                any_pos,
+                lambda _: mean_argmin(mem_idx, mem_count, sumvec, count),
+                lambda _: last_slot, None)
 
             return (active, owner, stamp, t + 1, last_slot, c, sumvec,
-                    count, ~any_pos, best)
+                    count, mem_idx, mem_count, ~any_pos, best)
 
         def inner_cond(state):
-            return ~state[8]
+            return ~state[10]
 
         def outer_body(state):
-            active, owner, stamp, t, seed_slot, c, center_slot, done = state
+            (active, owner, stamp, t, seed_slot, c, center_slot,
+             mem_idx, done) = state
             # start a center at seed_slot
             owner = owner.at[seed_slot].set(c)
             stamp = stamp.at[seed_slot].set(t)
-            sumvec = hist_s[seed_slot]
+            sumvec = hist_s[seed_slot].astype(jnp.float32)
             count = jnp.float32(1.0)
+            mem_idx = mem_idx.at[0].set(seed_slot)
             inner_state = (active, owner, stamp, t + 1, seed_slot, c,
-                           sumvec, count, jnp.bool_(False), i32(-1))
-            (active, owner, stamp, t, last_slot, _, _, _, _, best) = \
-                jax.lax.while_loop(inner_cond, inner_body, inner_state)
+                           sumvec, count, mem_idx, i32(1),
+                           jnp.bool_(False), i32(-1))
+            (active, owner, stamp, t, last_slot, _, _, _, mem_idx, _, _,
+             best) = jax.lax.while_loop(inner_cond, inner_body, inner_state)
             center_slot = center_slot.at[c].set(last_slot)
 
             # next seed: best candidate (erase) or pop() (first live slot)
@@ -274,32 +348,31 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             def from_pop(_):
                 qext = jnp.concatenate(
                     [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
-                s = jnp.searchsorted(qext, 1, side="left") - 1
-                s = jnp.where(qext[N] > 0, s, N).astype(i32)
-                return s, jnp.where(
-                    (slots == s), False, active)
+                s = kth_active(qext, 0)
+                return s, active.at[s].set(False, mode="drop")
 
             next_seed, active = jax.lax.cond(best >= 0, from_best,
                                              from_pop, None)
             done = (next_seed >= N) | (next_seed < 0) | (c + 1 >= Cmax)
             next_seed = jnp.clip(next_seed, 0, N - 1)
             return (active, owner, stamp, t, next_seed, c + 1,
-                    center_slot, done)
+                    center_slot, mem_idx, done)
 
         def outer_cond(state):
-            return ~state[7]
+            return ~state[8]
 
         active0 = jnp.ones(N, bool)
         owner0 = jnp.full(N, -1, i32)
         stamp0 = jnp.zeros(N, i32)
         center_slot0 = jnp.full(Cmax, -1, i32)
+        mem_idx0 = jnp.zeros(N, i32)
         # pop() the very first seed
         seed0 = i32(0)
         active0 = active0.at[0].set(False)
-        state = (active0, owner0, stamp0, i32(0), seed0, i32(0),
-                 center_slot0, jnp.bool_(False))
+        state = (active0, owner0, stamp0, jnp.int32(0), seed0, i32(0),
+                 center_slot0, mem_idx0, jnp.bool_(False))
         state = jax.lax.while_loop(outer_cond, outer_body, state)
-        (active, owner, stamp, t, _, c, center_slot, _) = state
+        (active, owner, stamp, t, _, c, center_slot, _, _) = state
         return owner, stamp, center_slot, c
 
     return jax.jit(fn)

@@ -151,12 +151,13 @@ class DeviceBackend:
                  F.FEAT_PEARSON, F.FEAT_SIMRATIO, F.FEAT_KULCZYNSKI2)
     supports_device_accumulate = True
 
-    def __init__(self, ps: PointSet, params: F.FeatureParams):
+    def __init__(self, ps: PointSet, params: F.FeatureParams, mesh=None):
         for s in params.singles:
             if s not in self.SUPPORTED:
                 raise ValueError(f"single {s} not supported on device")
         self.ps = ps
         self.params = params
+        self.mesh = mesh            # optional 1-D "data" mesh (parallel/dist)
         dev = ps.device_arrays()
         self.hist_dev = dev["hist"]
         self.mag_dev = dev["mag"]
@@ -222,8 +223,8 @@ class DeviceBackend:
         @jax.jit
         def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
                 center, window):
-            h_c = hist[center]                     # [V]
-            h_w = hist[window]                     # [W, V]
+            h_c = hist[center].astype(jnp.float32)     # [V]
+            h_w = hist[window].astype(jnp.float32)     # [W, V]
             man = jnp.sum(jnp.abs(h_w - h_c[None, :]), axis=1)
             dot = h_w @ h_c
             return score_rows(man, dot, mag[center], mag[window],
@@ -233,8 +234,8 @@ class DeviceBackend:
         @jax.jit
         def run_pairs(hist, mag, sq, lens, mins, maxs, is_sim, weights,
                       a_idx, b_idx):
-            h_a = hist[a_idx]
-            h_b = hist[b_idx]
+            h_a = hist[a_idx].astype(jnp.float32)
+            h_b = hist[b_idx].astype(jnp.float32)
             man = jnp.sum(jnp.abs(h_a - h_b), axis=1)
             dot = jnp.sum(h_a * h_b, axis=1)
             return score_rows(man, dot, mag[a_idx], mag[b_idx],
@@ -352,7 +353,7 @@ class DeviceBackend:
             Returns (winner_pos [Cp] int32 — pool position of the new center
             or M (none), counts [Cp])."""
             M = m_idx.shape[0]
-            h_m = hist[m_idx]                         # [M, V]
+            h_m = hist[m_idx].astype(jnp.float32)     # [M, V]
             mag_m = mag[m_idx]
             sq_m = sq[m_idx]
             len_m = lens[m_idx]
@@ -364,7 +365,8 @@ class DeviceBackend:
                 ok = (j >= 0) & (j < Cp)
                 jc = jnp.clip(j, 0, Cp - 1)
                 pos = classify_rows(
-                    h_m, hist[c_idx[jc]], mag_m, mag[c_idx[jc]],
+                    h_m, hist[c_idx[jc]].astype(jnp.float32),
+                    mag_m, mag[c_idx[jc]],
                     sq_m, sq[c_idx[jc]], len_m, lens[c_idx[jc]],
                     mins, maxs, is_sim, weights) & ok & c_valid[jc]
                 pos_list.append(pos)
@@ -404,7 +406,7 @@ class DeviceBackend:
         return update
 
     # -- fused Phase B: ALL update+merge iterations in ONE device call ------
-    def _build_phaseb(self, Cp: int, delta: int, iters: int):
+    def _build_phaseb(self, Cp: int, delta: int, iters: int, mesh=None):
         """One jitted call runs `iters` x (mean_shift_update; merge) with
         center state, member ownership, and merge compaction device-resident
         (ClusterFactory.cpp:738-753). Eliminates the 2-roundtrips-per-
@@ -416,6 +418,14 @@ class DeviceBackend:
         argmin order can differ (inside the tie-breaking tolerance). The
         per-iteration single-step merge targets are returned so the host
         replays the reference's member-list order exactly for output.
+
+        With `mesh` (1-D "data" axis): member arrays are sharded, center
+        state replicated. Per iteration: psum of (sum-histograms, counts)
+        and a lexicographic (distance, global pool position) min pick the
+        new center — histogram sums are integer-valued f32 (< 2^24, exact),
+        so N-device output is BITWISE equal to 1-device output (SURVEY §5.8
+        determinism contract). The tiny merge band is recomputed identically
+        on every shard.
         """
         V = self.ps.V
         singles = self.singles
@@ -471,27 +481,98 @@ class DeviceBackend:
                 score = score + weights[j + 1] * prod
             return score >= 0.0, f1
 
-        upd = self._build_update(Cp, delta)
+        V = self.ps.V
         n_jump = max(1, int(np.ceil(np.log2(max(2, Cp)))))
+        n_dev = 1 if mesh is None else int(mesh.devices.size)
 
-        @jax.jit
+        def classify_rows(h_m, h_c, mag_m, mag_c, sq_m, sq_c, len_m, len_c,
+                          mins, maxs, is_sim, weights):
+            pos, _ = classify_f1(h_m, h_c, mag_m, mag_c, sq_m, sq_c,
+                                 len_m, len_c, mins, maxs, is_sim, weights)
+            return pos
+
         def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
-                m_idx, assign0, c_idx0, c_valid0):
-            M = m_idx.shape[0]
+                m_idx, m_valid, assign0, c_idx0, c_valid0):
+            M = m_idx.shape[0]              # LOCAL rows under shard_map
+            Mtot = M * n_dev
             idxC = jnp.arange(Cp, dtype=jnp.int32)
+            if mesh is None:
+                goff = jnp.int32(0)
+                m_idx_g = m_idx
+            else:
+                goff = (jax.lax.axis_index("data") * M).astype(jnp.int32)
+                m_idx_g = jax.lax.all_gather(m_idx, "data", tiled=True)
+            pool_pos = goff.astype(jnp.float32) + jnp.arange(
+                M, dtype=jnp.float32)
+            h_m = hist[m_idx].astype(jnp.float32)   # member rows, once
+            mag_m = mag[m_idx]
+            sq_m = sq[m_idx]
+            len_m = lens[m_idx]
 
             def one_iter(carry, _):
                 assign, c_idx, c_valid = carry
-                # --- mean_shift_update (parallel snapshot semantics) -------
-                best_pos, _ = upd(hist, mag, sq, lens, mins, maxs, is_sim,
-                                  weights, m_idx, assign, c_idx, c_valid)
-                ok = (best_pos < M) & c_valid
+                # --- mean_shift_update (parallel snapshot semantics,
+                #     ClusterFactory.cpp:290-380): banded classify + mean +
+                #     member argmin of distance_d ----------------------------
+                pos_list = []
+                sums = jnp.zeros((Cp, V), jnp.float32)
+                counts = jnp.zeros((Cp,), jnp.float32)
+                for o in range(-delta, delta + 1):
+                    j = assign + o
+                    ok_o = (j >= 0) & (j < Cp) & m_valid
+                    jc = jnp.clip(j, 0, Cp - 1)
+                    pos = classify_rows(
+                        h_m, hist[c_idx[jc]].astype(jnp.float32),
+                        mag_m, mag[c_idx[jc]],
+                        sq_m, sq[c_idx[jc]], len_m, lens[c_idx[jc]],
+                        mins, maxs, is_sim, weights) & ok_o & c_valid[jc]
+                    pos_list.append(pos)
+                    w = pos.astype(jnp.float32)
+                    sums = sums + jax.ops.segment_sum(
+                        h_m * w[:, None], jc, num_segments=Cp)
+                    counts = counts + jax.ops.segment_sum(
+                        w, jc, num_segments=Cp)
+                if mesh is not None:
+                    sums = jax.lax.psum(sums, "data")
+                    counts = jax.lax.psum(counts, "data")
+                mean = sums / jnp.maximum(counts, 1.0)[:, None]
+
+                best_d = jnp.full((Cp,), INF)
+                d_per_o = []
+                for oi, o in enumerate(range(-delta, delta + 1)):
+                    j = assign + o
+                    jc = jnp.clip(j, 0, Cp - 1)
+                    cmean = mean[jc]
+                    cw = jnp.floor(cmean)
+                    dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
+                    mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
+                    frac = dist / jnp.maximum(mg, 1.0)
+                    d = 10000.0 * (1.0 - frac * frac)
+                    d = jnp.where(pos_list[oi], d, INF)
+                    d_per_o.append(d)
+                    best_d = jnp.minimum(
+                        best_d, jax.ops.segment_min(d, jc, num_segments=Cp))
+                if mesh is not None:
+                    best_d = jax.lax.pmin(best_d, "data")
+                best_pos = jnp.full((Cp,), jnp.float32(Mtot))
+                for oi, o in enumerate(range(-delta, delta + 1)):
+                    j = assign + o
+                    jc = jnp.clip(j, 0, Cp - 1)
+                    tie = (d_per_o[oi] == best_d[jc]) & pos_list[oi]
+                    p = jnp.where(tie, pool_pos, jnp.float32(Mtot))
+                    best_pos = jnp.minimum(
+                        best_pos, jax.ops.segment_min(p, jc,
+                                                      num_segments=Cp))
+                if mesh is not None:
+                    best_pos = jax.lax.pmin(best_pos, "data")
+                best_pos = best_pos.astype(jnp.int32)
+                ok = (best_pos < Mtot) & c_valid
                 c_idx = jnp.where(
-                    ok, m_idx[jnp.clip(best_pos, 0, M - 1)], c_idx)
+                    ok, m_idx_g[jnp.clip(best_pos, 0, Mtot - 1)], c_idx)
                 # --- merge: argmax-f1 classifier-positive in (i, i+delta] --
                 best_f1 = jnp.full((Cp,), _DBL_MIN, jnp.float32)
                 best_t = idxC
-                h_i = hist[c_idx]
+                h_i = hist[c_idx].astype(jnp.float32)
                 mg_i, sq_i, ln_i = mag[c_idx], sq[c_idx], lens[c_idx]
                 for o in range(1, delta + 1):
                     j = idxC + o
@@ -500,7 +581,8 @@ class DeviceBackend:
                     okj = okj & c_valid[jc]
                     a = c_idx[jc]
                     res, f1 = classify_f1(
-                        hist[a], h_i, mag[a], mg_i, sq[a], sq_i,
+                        hist[a].astype(jnp.float32), h_i, mag[a], mg_i,
+                        sq[a], sq_i,
                         lens[a], ln_i, mins, maxs, is_sim, weights)
                     # ascending o + strict > == reference first-max tie-break
                     cand = res & okj & (f1 > best_f1)
@@ -529,31 +611,55 @@ class DeviceBackend:
                 one_iter, (assign0, c_idx0, c_valid0), None, length=iters)
             return assign, c_idx, c_valid, t_hist
 
-        return run
+        if mesh is None:
+            return jax.jit(run)
+        from jax.sharding import PartitionSpec as P
+        rep = P()
+        return jax.jit(jax.shard_map(
+            run, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, rep, rep, rep, rep,
+                      P("data"), P("data"), P("data"), rep, rep),
+            out_specs=(P("data"), rep, rep, rep),
+            check_vma=False,
+        ))
 
     def phase_b_loop(self, members: np.ndarray, assign: np.ndarray,
                      center_rows: np.ndarray, delta: int, iterations: int):
         """Run all Phase B iterations on device. Returns (assign [M],
-        center_rows [C'], valid [C'], t_hist [iters, Cp]) as numpy."""
+        center_rows [C'], valid [C'], t_hist [iters, Cp]) as numpy.
+        With self.mesh set, the member pool is sharded over the mesh
+        (padded to a multiple of the device count; pad rows carry
+        m_valid=False and never contribute)."""
         C = center_rows.shape[0]
         Cp = _pad_to_bucket(C)
         c_idx = np.zeros(Cp, np.int32)
         c_idx[:C] = center_rows
         c_valid = np.zeros(Cp, bool)
         c_valid[:C] = True
-        key = ("phaseb", Cp, delta, iterations)
+        mesh = getattr(self, "mesh", None)
+        n_dev = 1 if mesh is None else int(mesh.devices.size)
+        M = members.shape[0]
+        Mp = ((M + n_dev - 1) // n_dev) * n_dev
+        m_idx = np.zeros(Mp, np.int32)
+        m_idx[:M] = members
+        m_assign = np.zeros(Mp, np.int32)
+        m_assign[:M] = assign
+        m_valid = np.zeros(Mp, bool)
+        m_valid[:M] = True
+        key = ("phaseb", Cp, delta, iterations, n_dev)
         if not hasattr(self, "_upd_cache"):
             self._upd_cache = {}
         if key not in self._upd_cache:
-            self._upd_cache[key] = self._build_phaseb(Cp, delta, iterations)
+            self._upd_cache[key] = self._build_phaseb(
+                Cp, delta, iterations, mesh=mesh)
         fn = self._upd_cache[key]
         a, ci, cv, th = fn(
             self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
             self.mins, self.maxs, self.is_sim, self.weights,
-            jnp.asarray(members.astype(np.int32)),
-            jnp.asarray(assign.astype(np.int32)),
+            jnp.asarray(m_idx), jnp.asarray(m_valid),
+            jnp.asarray(m_assign),
             jnp.asarray(c_idx), jnp.asarray(c_valid))
-        return (np.asarray(a), np.asarray(ci), np.asarray(cv),
+        return (np.asarray(a)[:M], np.asarray(ci), np.asarray(cv),
                 np.asarray(th))
 
     def update_banded(self, members: np.ndarray, assign: np.ndarray,
@@ -604,11 +710,12 @@ class DeviceBackend:
 
 
 def make_backend(ps: PointSet, params: F.FeatureParams,
-                 align_fn: Optional[Callable] = None, exact: bool = False):
+                 align_fn: Optional[Callable] = None, exact: bool = False,
+                 mesh=None):
     """Pick the device path when possible, host path otherwise."""
     if not exact:
         try:
-            return DeviceBackend(ps, params)
+            return DeviceBackend(ps, params, mesh=mesh)
         except ValueError:
             pass
     return HostBackend(ps, params, align_fn=align_fn)

@@ -62,8 +62,12 @@ class PointSet:
     def device_arrays(self) -> dict:
         import jax.numpy as jnp
         if not hasattr(self, "_dev"):
+            # hist kept in its (narrow) storage dtype on device too; every
+            # consumer casts gathered rows to f32 (fuses into the gather).
+            hdt = self.hist.dtype if self.hist.dtype.itemsize <= 4 \
+                else np.float32
             self._dev = {
-                "hist": jnp.asarray(self.hist, jnp.float32),
+                "hist": jnp.asarray(self.hist, hdt),
                 "mag": jnp.asarray(self.mag, jnp.float32),
                 "sq": jnp.asarray(self.sq, jnp.float32),
                 "len": jnp.asarray(self.lengths, jnp.float32),
@@ -79,6 +83,7 @@ class PointSet:
         if not hasattr(self, "_distfn"):
             @jax.jit
             def distfn(hist, mag, rows):
+                hist = hist.astype(jnp.float32)
                 h = hist[rows]                               # [P, V]
                 man = jnp.sum(jnp.abs(h[:, None, :] - hist[None, :, :]),
                               axis=-1)                       # [P, N]
@@ -98,12 +103,15 @@ class PointSet:
 
 
 def build_points(seqs: List[fio.Sequence], k: int,
-                 use_pallas: bool = True) -> PointSet:
+                 use_pallas: bool = True, mesh=None) -> PointSet:
     """Featurize all sequences (ref ClusterFactory::build_points +
     get_divergence_point)."""
-    feats = H.featurize(seqs, k, use_pallas=use_pallas)
+    feats = H.featurize(seqs, k, use_pallas=use_pallas, mesh=mesh)
     hist = feats["hist"]
     st = F.seq_stats(hist)
+    # apply the dtype scan to STORAGE (ref Runner.cpp:75-89 dispatches
+    # do_run<u8|u16|u32|u64> on the max count): 4x memory at 1M-seq scale
+    hist = hist.astype(H.storage_dtype(int(hist.max())))
     return PointSet(
         hist=hist,
         mag=st["mag"],

@@ -31,7 +31,12 @@ def sort_files(files: List[str]) -> List[str]:
 
 def run(cfg: ClusterConfig) -> dict:
     from meshclust_tpu.utils import jaxcache
+    from meshclust_tpu.parallel import dist
     jaxcache.enable()
+    dist.init_distributed()
+    mesh = dist.get_mesh()
+    if mesh is not None:
+        log(f"Mesh: {mesh.devices.size} devices (data-parallel)")
     cfg = cfg.finalize()
     files = sort_files(list(cfg.files))
     if not files:
@@ -53,7 +58,7 @@ def run(cfg: ClusterConfig) -> dict:
 
     log(f"Counting {k}-mers")
     with perf.phase("featurize"):
-        ps = build_points(seqs, k, use_pallas=cfg.use_pallas)
+        ps = build_points(seqs, k, use_pallas=cfg.use_pallas, mesh=mesh)
     largest_count = int(ps.hist.max())
     bits = int(np.dtype(H.storage_dtype(largest_count)).itemsize * 8)
     log(f"Using {bits} bit histograms")
@@ -77,7 +82,8 @@ def run(cfg: ClusterConfig) -> dict:
     def align_fn(center: int, idxs: np.ndarray) -> np.ndarray:
         return aligner.identities([(center, int(j)) for j in idxs])
 
-    backend = C.make_backend(ps, params, align_fn=align_fn, exact=cfg.exact)
+    backend = C.make_backend(ps, params, align_fn=align_fn, exact=cfg.exact,
+                             mesh=mesh)
 
     bv = BVec(ps.lengths.copy(), cfg.bin_size)
     for idx in range(ps.n):

@@ -263,13 +263,25 @@ def length_buckets(lengths: List[int], granularity: int = 256,
 
 
 def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
-              init: int = 1) -> dict:
+              init: int = 1, mesh=None) -> dict:
     """Featurize all sequences: k-mer histograms (+pseudocount), 1-mer counts,
     pseudo-magnitudes, lengths. Returns numpy arrays in input order.
 
     Ref: ClusterFactory::build_points + get_divergence_point
     (ClusterFactory.cpp:770-804, 989-1010).
+
+    With `mesh`, batch inputs are device_put sharded on the row axis so XLA
+    partitions the histogram matmuls across the mesh with no collectives
+    (the OpenMP `parallel for` at ClusterFactory.cpp:785-801, SPMD-style).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as _P
+        _rowsh = NamedSharding(mesh, _P("data"))
+
+        def _put(x):
+            return jax.device_put(x, _rowsh)
+    else:
+        _put = jnp.asarray
     N = len(seqs)
     V = 4 ** k
     lengths = [s.length for s in seqs]
@@ -307,7 +319,7 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
                     codes[i, : s.length] = s.codes
                     lens_arr[i] = s.length
                 counts, ones, _ = featurize_batch_simple(
-                    jnp.asarray(codes), jnp.asarray(lens_arr), k, init, impl)
+                    _put(codes), _put(lens_arr), k, init, impl)
             else:
                 codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
                 if rp != rows:
@@ -316,8 +328,7 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
                     valid = np.pad(valid, pad)
                     inseg = np.pad(inseg, pad)
                 counts, ones, _ = featurize_batch_device(
-                    jnp.asarray(codes), jnp.asarray(valid),
-                    jnp.asarray(inseg), k, init, impl)
+                    _put(codes), _put(valid), _put(inseg), k, init, impl)
             hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
             k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
     mag = hist.astype(np.int64).sum(axis=1)

@@ -27,8 +27,10 @@ def enable() -> None:
         return
     path = knob if knob not in ("", "1") else _DEFAULT_DIR
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        if jax.default_backend() != "tpu":
+            return   # CPU AOT cache entries are machine-feature-pinned
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything, however fast the compile was
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -64,3 +64,76 @@ def test_sharded_update_picks_members(rng):
             # winner must be a member within the delta band of center c
             a = assign[g[c]]
             assert abs(int(a) - c) <= 2
+
+
+# ---------------------------------------------------------------------------
+# Production-pipeline sharding (parallel/dist + classify._build_phaseb mesh)
+# ---------------------------------------------------------------------------
+
+def _e2e_fasta(tmp_path, rng):
+    bases = "ACGT"
+    p = tmp_path / "dist.fasta"
+    with open(p, "w") as f:
+        for s in range(5):
+            L = 150 + int(rng.integers(-10, 10))
+            base = rng.integers(0, 4, size=L)
+            for c in range(16):
+                e = L - int(rng.integers(0, 6))
+                seq = base[:e].copy()
+                pos = rng.integers(0, e, size=int(0.04 * e))
+                seq[pos] = (seq[pos] + 1 + rng.integers(
+                    0, 3, size=len(pos))) % 4
+                f.write(f">sp{s}_c{c}\n"
+                        + "".join(bases[x] for x in seq) + "\n")
+    return str(p)
+
+
+def test_phase_b_loop_mesh_equals_single(rng):
+    """The shard_map'ed fused Phase B bitwise-matches the 1-device path."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from jax.sharding import Mesh
+    from meshclust_tpu.core.classify import DeviceBackend
+    from meshclust_tpu.core.points import PointSet
+    import __graft_entry__ as g
+
+    hist, mag, sq, lens, params = g._toy_model(n=96, V=64, seed=5)
+    ps = PointSet(hist=hist, mag=mag, sq=sq, lengths=lens,
+                  one_mers=np.zeros((96, 4), np.int64),
+                  headers=[f">s{i}" for i in range(96)],
+                  codes=[], k=4, V=64)
+    members = np.asarray(rng.permutation(96), np.int64)
+    assign = np.sort(rng.integers(0, 7, size=96)).astype(np.int64)
+    center_rows = np.asarray(rng.choice(96, size=7, replace=False), np.int64)
+
+    be1 = DeviceBackend(ps, params)
+    r1 = be1.phase_b_loop(members, assign, center_rows, delta=2,
+                          iterations=4)
+    mesh = Mesh(np.array(jax.devices()[:8]), axis_names=("data",))
+    be8 = DeviceBackend(ps, params, mesh=mesh)
+    r8 = be8.phase_b_loop(members, assign, center_rows, delta=2,
+                          iterations=4)
+    for a, b in zip(r1, r8):
+        np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_pipeline_e2e_mesh_equals_single(tmp_path, rng, monkeypatch):
+    """Full CLI pipeline: 8-device mesh CLSTR == 1-device CLSTR."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from meshclust_tpu.config import ClusterConfig
+    from meshclust_tpu.core.runner import run
+
+    fa = _e2e_fasta(tmp_path, rng)
+
+    def once(n_dev, out):
+        monkeypatch.setenv("MESHCLUST_DEVICES", str(n_dev))
+        run(ClusterConfig(files=[fa], similarity=0.90, output=out,
+                          iterations=5, sample_size=120))
+        return open(out).read()
+
+    multi = once(8, str(tmp_path / "m.clstr"))
+    single = once(1, str(tmp_path / "s.clstr"))
+    assert multi == single
+    assert multi.count(">Cluster") >= 2
