@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="disable Pallas kernels (XLA fallbacks)")
     p.add_argument("--exact", action="store_true",
                    help="float64 host classifier (slow, parity debugging)")
+    p.add_argument("--checkpoint", default=None, metavar="PREFIX",
+                   help="save/resume run milestones (trained classifier + "
+                        "Phase-A centers) under PREFIX.{model,centers}.json")
     return p
 
 
@@ -65,6 +68,7 @@ def main(argv=None) -> int:
         threads=args.threads,
         use_pallas=not args.no_pallas,
         exact=args.exact,
+        checkpoint=args.checkpoint,
     )
     res = run(cfg)
     print(f"Wrote {res['n_clusters']} clusters to {cfg.output}")

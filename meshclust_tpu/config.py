@@ -41,6 +41,7 @@ class ClusterConfig:
     use_pallas: bool = True           # Pallas kernels vs pure-XLA fallbacks
     exact: bool = False               # float64 host decisions (tests/debug)
     seed: int = 10                    # srand(10) analogue (Runner.cpp:38)
+    checkpoint: Optional[str] = None  # milestone save/resume prefix (§5.4)
 
     def finalize(self) -> "ClusterConfig":
         """Apply the reference's constructor rules (Runner.cpp:25-39)."""

@@ -232,9 +232,16 @@ class MeanShift:
             c.center = int(c_rows[j])
         return centers
 
-    def run(self, bv: BVec) -> List[Center]:
-        centers = self.accumulate_all(bv)
-        log(f"Accumulated {len(centers)} initial centers")
+    def run(self, bv: BVec, resume_centers: Optional[List[Center]] = None,
+            on_accumulated=None) -> List[Center]:
+        if resume_centers is not None:
+            centers = resume_centers
+            log(f"Resumed {len(centers)} accumulated centers (checkpoint)")
+        else:
+            centers = self.accumulate_all(bv)
+            log(f"Accumulated {len(centers)} initial centers")
+            if on_accumulated is not None:
+                on_accumulated(centers)
         import os
         fused = os.environ.get("MESHCLUST_FUSED_PHASEB", "1") == "1"
         if (fused and hasattr(self.backend, "phase_b_loop")

@@ -74,8 +74,20 @@ def run(cfg: ClusterConfig) -> dict:
     if (cfg.match, cfg.mismatch, cfg.gap_open, cfg.gap_continue) \
             == (1, -1, 2, 1):
         trainer._dev_aligner = aligner   # share the staged codes
-    with perf.phase("train"):
-        model = trainer.train(cfg.acc_cutoff)
+    from meshclust_tpu.utils import checkpoint as ckpt
+    tk = 0 if cfg.align else k
+    model = None
+    if cfg.checkpoint:
+        model = ckpt.load_model(cfg.checkpoint + ".model.json", ps, tk,
+                                cfg.similarity, cfg.seed)
+        if model is not None:
+            log("Resumed trained classifier from checkpoint")
+    if model is None:
+        with perf.phase("train"):
+            model = trainer.train(cfg.acc_cutoff)
+        if cfg.checkpoint:
+            ckpt.save_model(cfg.checkpoint + ".model.json", model, ps,
+                            cfg.seed)
 
     params = model.params
 
@@ -92,8 +104,15 @@ def run(cfg: ClusterConfig) -> dict:
 
     ms = MeanShift(ps, backend, sim=cfg.similarity, delta=cfg.delta,
                    iterations=cfg.iterations)
+    resume = None
+    on_acc = None
+    if cfg.checkpoint:
+        cpath = cfg.checkpoint + ".centers.json"
+        resume = ckpt.load_centers(cpath, ps, tk, cfg.similarity, cfg.seed)
+        on_acc = lambda cs: ckpt.save_centers(  # noqa: E731
+            cpath, cs, ps, tk, cfg.similarity, cfg.seed)
     with perf.phase("cluster"):
-        centers = ms.run(bv)
+        centers = ms.run(bv, resume_centers=resume, on_accumulated=on_acc)
 
     log("Printing output")
     with perf.phase("output"):

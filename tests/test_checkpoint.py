@@ -1,0 +1,60 @@
+"""Checkpoint/resume (SURVEY §5.4): trained classifier + Phase-A centers.
+
+The reference has no durable milestones; here a run with --checkpoint writes
+PREFIX.model.json / PREFIX.centers.json, and an identical re-run resumes them
+and produces an identical CLSTR.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from meshclust_tpu.config import ClusterConfig
+from meshclust_tpu.core.runner import run
+
+pytestmark = pytest.mark.slow   # full-pipeline runs, like test_end2end
+
+
+def _dataset(make_fasta, rng):
+    from tests.conftest import random_dna, mutate
+    recs = []
+    for s in range(6):
+        base = random_dna(rng, int(rng.integers(400, 600)))
+        for c in range(12):
+            recs.append((f"s{s}_{c}", mutate(rng, base, 0.04)))
+    return make_fasta(recs)
+
+
+def test_checkpoint_roundtrip_and_resume(make_fasta, rng, tmp_path):
+    path = _dataset(make_fasta, rng)
+    out1 = str(tmp_path / "a.clstr")
+    out2 = str(tmp_path / "b.clstr")
+    prefix = str(tmp_path / "ck")
+    run(ClusterConfig(files=[path], similarity=0.90, output=out1,
+                      sample_size=300, iterations=3, checkpoint=prefix))
+    assert os.path.exists(prefix + ".model.json")
+    assert os.path.exists(prefix + ".centers.json")
+    # resume: both milestones load, output identical
+    run(ClusterConfig(files=[path], similarity=0.90, output=out2,
+                      sample_size=300, iterations=3, checkpoint=prefix))
+    assert open(out1).read() == open(out2).read()
+
+
+def test_checkpoint_fingerprint_mismatch(make_fasta, rng, tmp_path):
+    """A checkpoint written against different data must NOT load."""
+    from meshclust_tpu.utils import checkpoint as ckpt
+    path = _dataset(make_fasta, rng)
+    out = str(tmp_path / "a.clstr")
+    prefix = str(tmp_path / "ck")
+    res = run(ClusterConfig(files=[path], similarity=0.90, output=out,
+                            sample_size=300, iterations=2,
+                            checkpoint=prefix))
+    ps = res["pointset"]
+    # same file, different cutoff => fingerprint differs => None
+    assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.83,
+                           10) is None
+    assert ckpt.load_centers(prefix + ".centers.json", ps, res["k"], 0.83,
+                             10) is None
+    # matching key loads
+    assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.90,
+                           10) is not None
