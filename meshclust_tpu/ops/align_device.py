@@ -197,14 +197,24 @@ class DeviceAligner:
         from meshclust_tpu.utils import perf
         perf.add("nw_cells", float((l1 * l2).sum()))
         perf.add("nw_pairs", n)
-        if (not self._on_tpu() or (l1 + l2).max() + 2 > _PACK_LIMIT
-                or l1.max() > _ROW_CAP):
+        if not self._on_tpu():
             from meshclust_tpu.ops import align as A
             with perf.phase("align"):
                 return A.align_identity_batch(
                     [(self.codes[a], self.codes[b]) for a, b in pairs],
                     match=self.match, mismatch=self.mismatch, go=self.go,
                     gc=self.gc)
+        if (l1 + l2).max() + 2 > _PACK_LIMIT or l1.max() > _ROW_CAP:
+            # genome-length pairs: blockwise-tiled wavefront (no row/pack
+            # caps, boundary state carried across H x W tiles)
+            from meshclust_tpu.ops.align_tiled import align_long_batch
+            with perf.phase("align"):
+                alen, amatch = align_long_batch(
+                    [(self.codes[a], self.codes[b]) for a, b in pairs],
+                    match=self.match, mismatch=self.mismatch, go=self.go,
+                    gc=self.gc)
+            return amatch.astype(np.float64) / np.maximum(
+                alen.astype(np.float64), 1.0)
         with perf.phase("align"):
             alen, amatch = self.counts(pairs)
         return amatch.astype(np.float64) / np.maximum(

@@ -1,0 +1,370 @@
+"""Blockwise-tiled Pallas wavefront aligner for LONG pairs (SURVEY §7 item 4).
+
+The VMEM-resident kernels (ops/align_pallas.py, ops/align_device.py) hold the
+whole DP row axis on-chip, capping pairs at l1 <= 8192 rows and
+l1 + l2 <= 32767 (the (len<<16|match) packing).  The reference's GlobAlignE
+is O(len1) memory at ANY length (GlobAlignE.cpp:123-292), so genome-scale
+pairs (50kb+ — align-mode viral/plasmid inputs) fell back to the HBM-bound
+XLA scan.  This module removes both caps:
+
+- the DP grid is cut into H x W tiles; a `lax.scan` walks row strips and a
+  sequential Pallas grid walks column tiles inside each strip;
+- the wavefront state for ONE tile lives in VMEM (19 carried [H, 128] i32
+  arrays — scores, path lengths, and match counts are separate lanes here,
+  no 16-bit packing, so alignment lengths up to 2^31 are exact);
+- boundary state is carried, not recomputed: the strip-to-strip boundary
+  (bottom row of each tile: 9 values/column) flows through the scan carry in
+  HBM, the tile-to-tile boundary (right column: 9 values/row) lives in a
+  persistent VMEM scratch across the sequential grid, and the diagonal
+  corner is stashed in a one-row scratch by the previous tile;
+- 128 pairs ride the lane axis per call, exactly like the short-pair kernel.
+
+Same cell recurrence and tie-break priorities as ops/align_pallas._kernel_body
+(match > lowerGap > upperGap at readout, matched > xgap_end > ygap_end inside,
+GlobAlignE.cpp:207-291); results are bit-equal to the XLA scan aligner.
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from meshclust_tpu.ops.align import neg_inf_sentinel
+
+LANES = 128
+_NLANE = 9        # m, lg, ug, mlen, lglen, uglen, mmatch, lgmatch, ugmatch
+_BW = _NLANE * LANES
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _split9(row):
+    """[1, 9*128] boundary row -> tuple of 9 [1, 128] slices."""
+    return tuple(row[:, i * LANES:(i + 1) * LANES] for i in range(_NLANE))
+
+
+def _tile_kernel(r0_ref, l1_ref, l2_ref, a_ref, b_ref, top_in_ref, acc_in_ref,
+                 top_out_ref, acc_out_ref, left_ref, corner_ref, *,
+                 H: int, W: int, match: int, mismatch: int, go: int, gc: int):
+    """One H x W tile of the global-alignment DP for 128 lane-pairs.
+
+    r0 [1] SMEM: global row offset of this strip. a [H,128] i32: seq1 codes,
+    a[li] = seq1[r0+li-1] (strip slice of the 1-shifted a_t). b [W,128] i32:
+    b[lj] = seq2[c0+lj-1]. top_in/top_out [W, 9*128]: bottom-row state of the
+    strip above / this strip, columns c0..c0+W-1. left/corner scratch:
+    right-column state of the tile to the left / its last top_in row.
+    acc [16,128]: readout accumulators (rows 0..8).
+    """
+    i32 = jnp.int32
+    sj = pl.program_id(0)
+    c0 = sj * W
+    r0 = r0_ref[0]
+    l1 = l1_ref[:].astype(i32)                       # [1, P]
+    l2 = l2_ref[:].astype(i32)
+    neg = neg_inf_sentinel(l1, l2, mismatch, go, gc).astype(i32)
+    rows = jax.lax.broadcasted_iota(i32, (H, LANES), 0)
+    cols = jax.lax.broadcasted_iota(i32, (H, LANES), 1)
+    A = a_ref[:].astype(i32)
+    # materialized initializers (Mosaic layout-unification requirement, see
+    # align_pallas._kernel_body NOTE)
+    never = (rows + cols) < 0
+    negf = jnp.where(never, 0, jnp.broadcast_to(neg, (H, LANES))).astype(i32)
+    zeros = jnp.where(never, 1, 0).astype(i32)
+    cols1 = jax.lax.broadcasted_iota(i32, (1, LANES), 1)
+    z1 = jnp.where(cols1 < 0, 1, 0).astype(i32)
+    n1 = jnp.where(cols1 < 0, z1, jnp.broadcast_to(neg, (1, LANES))
+                   ).astype(i32)
+
+    @pl.when(sj == 0)
+    def _():
+        acc_out_ref[:] = acc_in_ref[:]
+
+    corner = corner_ref[0:1, :]                      # stashed by tile sj-1
+    # state at diagonals dl-2 / dl-1 (start: none exist -> -inf / len 0)
+    M2, LG2, UG2 = negf, negf, negf
+    ML2, LL2, UL2 = zeros, zeros, zeros
+    MM2, LM2, UM2 = zeros, zeros, zeros
+    M1, LG1, UG1 = negf, negf, negf
+    ML1, LL1, UL1 = zeros, zeros, zeros
+    MM1, LM1, UM1 = zeros, zeros, zeros
+    bdiag = zeros
+    accs = (z1,) * _NLANE
+    top_prev = corner                                # top[dl-1] at dl=0
+    left_prev = corner
+
+    roll = functools.partial(pltpu.roll, shift=1, axis=0)
+
+    def body(dl, carry):
+        (M2, LG2, UG2, ML2, LL2, UL2, MM2, LM2, UM2,
+         M1, LG1, UG1, ML1, LL1, UL1, MM1, LM1, UM1,
+         bdiag, top_prev, left_prev, accs) = carry
+
+        g_i = r0 + rows                              # global DP row
+        g_j = c0 + dl - rows                         # global DP column
+        in_top = (r0 > 0)                            # strip above exists
+        in_left = (c0 > 0)                           # tile to the left exists
+
+        bidx = jnp.minimum(dl, W - 1)
+        bnew = b_ref[pl.ds(bidx, 1), :].astype(i32)
+        bdiag = jnp.where(rows == 0, bnew, roll(bdiag))
+        s_sub = jnp.where(A == bdiag, match, mismatch).astype(i32)
+
+        top_cur = top_in_ref[pl.ds(bidx, 1), :]      # row r0-1, column c0+dl
+        lidx = jnp.minimum(dl, H - 1)
+        left_cur = left_ref[pl.ds(lidx, 1), :]       # row r0+dl, column c0-1
+        (tM, tLG, tUG, tML, tLL, tUL, tMM, tLM, tUM) = _split9(top_cur)
+        (pM, pLG, pUG, pML, pLL, pUL, pMM, pLM, pUM) = _split9(top_prev)
+        (lM, lLG, lUG, lML, lLL, lUL, lMM, lLM, lUM) = _split9(left_cur)
+        (qM, qLG, qUG, qML, qLL, qUL, qMM, qLM, qUM) = _split9(left_prev)
+
+        def inject(arr, val_top, val_left, mask_top, mask_left):
+            out = jnp.where(mask_top & (rows == 0),
+                            jnp.broadcast_to(val_top, (H, LANES)), arr)
+            return jnp.where(mask_left & (rows == dl),
+                             jnp.broadcast_to(val_left, (H, LANES)), out)
+
+        # UG(li, lj) <- (li, lj-1): same-row state at dl-1; only the lj==0
+        # cell (local row dl) needs the left-neighbor column (c0-1).
+        M1u = inject(M1, pM, lM, False, in_left)
+        UG1u = inject(UG1, pUG, lUG, False, in_left)
+        ML1u = inject(ML1, pML, lML, False, in_left)
+        UL1u = inject(UL1, pUL, lUL, False, in_left)
+        MM1u = inject(MM1, pMM, lMM, False, in_left)
+        UM1u = inject(UM1, pUM, lUM, False, in_left)
+        ygap_begin = M1u - (go + gc)
+        ug = jnp.maximum(ygap_begin, UG1u - gc)
+        u_from_m = ug == ygap_begin
+        ulen = jnp.where(u_from_m, ML1u, UL1u) + 1
+        umatch = jnp.where(u_from_m, MM1u, UM1u)
+
+        # M(li, lj) <- (li-1, lj-1): rolled dl-2 state; row 0 needs the top
+        # boundary at column c0+dl-1 (top_prev), row dl the left at dl-1.
+        M2s = inject(roll(M2), pM, qM, in_top, in_left)
+        LG2s = inject(roll(LG2), pLG, qLG, in_top, in_left)
+        UG2s = inject(roll(UG2), pUG, qUG, in_top, in_left)
+        ML2s = inject(roll(ML2), pML, qML, in_top, in_left)
+        LL2s = inject(roll(LL2), pLL, qLL, in_top, in_left)
+        UL2s = inject(roll(UL2), pUL, qUL, in_top, in_left)
+        MM2s = inject(roll(MM2), pMM, qMM, in_top, in_left)
+        LM2s = inject(roll(LM2), pLM, qLM, in_top, in_left)
+        UM2s = inject(roll(UM2), pUM, qUM, in_top, in_left)
+        matched = M2s + s_sub
+        xgap_end = LG2s + s_sub
+        ygap_end = UG2s + s_sub
+        m = jnp.maximum(jnp.maximum(matched, xgap_end), ygap_end)
+        is_m = m == matched
+        is_x = (~is_m) & (m == xgap_end)
+        inc = (s_sub == match).astype(i32)
+        mlen = jnp.where(is_m, ML2s, jnp.where(is_x, LL2s, UL2s)) + 1
+        mmatch = (jnp.where(is_m, MM2s, jnp.where(is_x, LM2s, UM2s)) + inc)
+
+        # LG(li, lj) <- (li-1, lj): rolled dl-1 state; row 0 needs the top
+        # boundary at column c0+dl (top_cur).
+        M1s = inject(roll(M1), tM, qM, in_top, False)
+        LG1s = inject(roll(LG1), tLG, qLG, in_top, False)
+        ML1s = inject(roll(ML1), tML, qML, in_top, False)
+        LL1s = inject(roll(LL1), tLL, qLL, in_top, False)
+        MM1s = inject(roll(MM1), tMM, qMM, in_top, False)
+        LM1s = inject(roll(LM1), tLM, qLM, in_top, False)
+        xgap_begin = M1s - (go + gc)
+        lg = jnp.maximum(xgap_begin, LG1s - gc)
+        l_from_m = lg == xgap_begin
+        llen = jnp.where(l_from_m, ML1s, LL1s) + 1
+        lmatch = jnp.where(l_from_m, MM1s, LM1s)
+
+        # global DP boundary formulas (i == 0 row / j == 0 column,
+        # GlobAlignE.cpp:129-168 init): override computed values.
+        at_top = (g_i == 0) & (g_j >= 0)
+        at_left = (g_j == 0) & (g_i >= 0)
+        origin = at_top & at_left
+        atb = at_top | at_left
+        dgl = jnp.where(at_top, g_j, g_i)            # boundary path length
+        m = jnp.where(origin, 0, jnp.where(atb, negf, m))
+        mlen = jnp.where(atb, dgl, mlen)
+        mmatch = jnp.where(atb, 0, mmatch)
+        ug = jnp.where(at_top & ~origin, -go - g_j * gc,
+                       jnp.where(at_left | origin, negf, ug))
+        ulen = jnp.where(atb, dgl, ulen)
+        umatch = jnp.where(atb, 0, umatch)
+        lg = jnp.where(at_left & ~origin, -go - g_i * gc,
+                       jnp.where(at_top | origin, negf, lg))
+        llen = jnp.where(atb, dgl, llen)
+        lmatch = jnp.where(atb, 0, lmatch)
+
+        # readout capture at cell (l1, l2) — restricted to THIS tile's
+        # columns (lj = dl - li in [0, W)): state rows whose wavefront cell
+        # lies right of the tile hold garbage and can alias (g_i, g_j) of
+        # the true readout cell in another tile.
+        lj = dl - rows
+        cap = (g_i == l1) & (g_j == l2) & (lj >= 0) & (lj <= W - 1)
+
+        def pick(x):
+            return jnp.sum(jnp.where(cap, x, 0), axis=0, keepdims=True,
+                           dtype=i32)
+
+        accs = tuple(a + pick(x) for a, x in zip(
+            accs, (m, lg, ug, mlen, llen, ulen, mmatch, lmatch, umatch)))
+
+        # boundary exports: bottom row -> top_out[dl-(H-1)], right column
+        # (local row dl-(W-1)) -> left scratch
+        new_row = jnp.concatenate(
+            [m[H - 1:H], lg[H - 1:H], ug[H - 1:H],
+             mlen[H - 1:H], llen[H - 1:H], ulen[H - 1:H],
+             mmatch[H - 1:H], lmatch[H - 1:H], umatch[H - 1:H]], axis=1)
+
+        @pl.when((dl >= H - 1) & (dl <= H - 1 + W - 1))
+        def _():
+            top_out_ref[pl.ds(dl - (H - 1), 1), :] = new_row
+
+        ri = jnp.maximum(jnp.minimum(dl - (W - 1), H - 1), 0)
+
+        def row_at(x):
+            return jax.lax.dynamic_slice(x, (ri, 0), (1, LANES))
+
+        right_row = jnp.concatenate(
+            [row_at(m), row_at(lg), row_at(ug),
+             row_at(mlen), row_at(llen), row_at(ulen),
+             row_at(mmatch), row_at(lmatch), row_at(umatch)], axis=1)
+
+        @pl.when((dl >= W - 1) & (dl <= W - 1 + H - 1))
+        def _():
+            left_ref[pl.ds(ri, 1), :] = right_row
+
+        return (M1, LG1, UG1, ML1, LL1, UL1, MM1, LM1, UM1,
+                m, lg, ug, mlen, llen, ulen, mmatch, lmatch, umatch,
+                bdiag, top_cur, left_cur, accs)
+
+    carry = (M2, LG2, UG2, ML2, LL2, UL2, MM2, LM2, UM2,
+             M1, LG1, UG1, ML1, LL1, UL1, MM1, LM1, UM1,
+             bdiag, top_prev, left_prev, accs)
+    carry = jax.lax.fori_loop(0, H + W - 1, body, carry)
+    accs = carry[-1]
+
+    # stash the corner for tile sj+1: the strip-above value at column c1-1
+    corner_ref[0:1, :] = top_in_ref[W - 1:W, :]
+
+    acc_out_ref[0:_NLANE, :] = (
+        acc_out_ref[0:_NLANE, :] + jnp.concatenate(list(accs), axis=0))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "SI", "SJ", "H", "W", "match", "mismatch", "go", "gc", "interpret"))
+def _align_tiled(a_t, b_t, l1, l2, *, SI, SJ, H, W, match, mismatch, go, gc,
+                 interpret=False):
+    """a_t [SI*H, 128] i32 (a_t[i] = seq1[i-1]), b_t [SJ*W, 128] i32
+    (b_t[j] = seq2[j-1]), l1/l2 [1, 128]. Returns (alen, amatch) [128] i32."""
+    kern = functools.partial(_tile_kernel, H=H, W=W, match=match,
+                             mismatch=mismatch, go=go, gc=gc)
+
+    grid_call = pl.pallas_call(
+        kern,
+        grid=(SJ,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # r0
+            pl.BlockSpec((1, LANES), lambda sj: (0, 0)),     # l1
+            pl.BlockSpec((1, LANES), lambda sj: (0, 0)),     # l2
+            pl.BlockSpec((H, LANES), lambda sj: (0, 0)),     # a strip
+            pl.BlockSpec((W, LANES), lambda sj: (sj, 0)),    # b columns
+            pl.BlockSpec((W, _BW), lambda sj: (sj, 0)),      # top in
+            pl.BlockSpec((16, LANES), lambda sj: (0, 0)),    # acc in
+        ],
+        out_specs=[
+            pl.BlockSpec((W, _BW), lambda sj: (sj, 0)),      # top out
+            pl.BlockSpec((16, LANES), lambda sj: (0, 0)),    # acc out
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((SJ * W, _BW), jnp.int32),
+            jax.ShapeDtypeStruct((16, LANES), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((H, _BW), jnp.int32),                 # left column
+            pltpu.VMEM((1, _BW), jnp.int32),                 # corner stash
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    def step(carry, xs):
+        top, acc = carry
+        a_s, r0 = xs
+        top, acc = grid_call(r0, l1, l2, a_s, b_t, top, acc)
+        return (top, acc), None
+
+    a_strips = a_t.reshape(SI, H, LANES)
+    r0s = (jnp.arange(SI, dtype=jnp.int32) * H).reshape(SI, 1)
+    top0 = jnp.zeros((SJ * W, _BW), jnp.int32)
+    acc0 = jnp.zeros((16, LANES), jnp.int32)
+    (_, acc), _ = jax.lax.scan(step, (top0, acc0), (a_strips, r0s))
+
+    fm, flg, fug = acc[0:1], acc[1:2], acc[2:3]
+    fml, fll, ful = acc[3:4], acc[4:5], acc[5:6]
+    fmm, flm, fum = acc[6:7], acc[7:8], acc[8:9]
+    # final lane priority: matches > lowerGap > upperGap (cpp:278-291)
+    score = jnp.maximum(jnp.maximum(fm, flg), fug)
+    from_m = score == fm
+    from_lg = (~from_m) & (score == flg)
+    alen = jnp.where(from_m, fml, jnp.where(from_lg, fll, ful))
+    amatch = jnp.where(from_m, fmm, jnp.where(from_lg, flm, fum))
+    return alen[0], amatch[0]
+
+
+# default tile: 19 carried [H,128] i32 state arrays ~ 9.7 MB VMEM at H=1024
+_TILE_H = 1024
+_TILE_W = 1024
+
+
+def align_long_batch(pairs: Sequence[Tuple[np.ndarray, np.ndarray]],
+                     match: int = 1, mismatch: int = -1, go: int = 2,
+                     gc: int = 1, tile_h: int = _TILE_H, tile_w: int = _TILE_W,
+                     interpret: bool = False
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Exact (alignment_length, matches) for arbitrarily long (a, b) code
+    pairs via the tiled kernel, 128 lanes per dispatch."""
+    n = len(pairs)
+    alen = np.zeros(n, np.int64)
+    amatch = np.zeros(n, np.int64)
+    order = sorted(range(n), key=lambda t: len(pairs[t][0]) + len(pairs[t][1]))
+    for s in range(0, n, LANES):
+        idx = order[s: s + LANES]
+        l1m = max(len(pairs[t][0]) for t in idx)
+        l2m = max(len(pairs[t][1]) for t in idx)
+        H = tile_h if l1m + 1 > tile_h else _round_up(l1m + 1, 128)
+        W = tile_w if l2m + 1 > tile_w else _round_up(l2m + 1, 128)
+        SI = -(-(l1m + 1) // H)
+        SJ = -(-(l2m + 1) // W)
+        a_t = np.zeros((SI * H, LANES), np.int32)
+        b_t = np.zeros((SJ * W, LANES), np.int32)
+        l1 = np.ones((1, LANES), np.int32)
+        l2 = np.ones((1, LANES), np.int32)
+        for p, t in enumerate(idx):
+            a, b = pairs[t]
+            a_t[1: len(a) + 1, p] = a
+            b_t[1: len(b) + 1, p] = b
+            l1[0, p] = len(a)
+            l2[0, p] = len(b)
+        al, am = _align_tiled(
+            jnp.asarray(a_t), jnp.asarray(b_t), jnp.asarray(l1),
+            jnp.asarray(l2), SI=SI, SJ=SJ, H=H, W=W, match=match,
+            mismatch=mismatch, go=go, gc=gc, interpret=interpret)
+        al = np.asarray(al, np.int64)
+        am = np.asarray(am, np.int64)
+        for p, t in enumerate(idx):
+            alen[t] = al[p]
+            amatch[t] = am[p]
+    return alen, amatch
+
+
+def align_long_identities(pairs, match=1, mismatch=-1, go=2, gc=1,
+                          interpret=False) -> np.ndarray:
+    alen, amatch = align_long_batch(pairs, match=match, mismatch=mismatch,
+                                    go=go, gc=gc, interpret=interpret)
+    return amatch.astype(np.float64) / np.maximum(alen.astype(np.float64),
+                                                  1.0)

@@ -138,3 +138,35 @@ def test_device_backend_get_close_compiles():
     be = DeviceBackend(ps, params)
     marks, is_min, best = be.get_close(0, np.arange(1, 50))
     assert marks.shape == (49,)
+
+
+@requires_tpu
+def test_tiled_long_aligner_compiles_and_matches():
+    """Blockwise-tiled long-pair kernel: real Mosaic compile + parity with
+    the XLA scan on pairs that fit both paths, plus one genuinely long pair
+    (beyond the short kernel's 8192-row/32767-pack caps)."""
+    from meshclust_tpu.ops import align as A
+    from meshclust_tpu.ops.align_tiled import align_long_batch
+    rng = np.random.default_rng(11)
+    pairs = []
+    for _ in range(8):
+        la = int(rng.integers(700, 1600))
+        a = rng.integers(0, 4, size=la, dtype=np.uint8)
+        b = a.copy()
+        pos = rng.integers(0, la, size=la // 15)
+        b[pos] = (b[pos] + 1) % 4
+        pairs.append((a, b[: la - int(rng.integers(0, 30))]))
+    want = A.align_identity_batch(pairs)
+    alen, amatch = align_long_batch(pairs, tile_h=512, tile_w=512)
+    got = amatch / np.maximum(alen, 1.0)
+    np.testing.assert_array_equal(got, want)
+
+    # one long pair: 20kb mutated copy => identity near the mutation rate
+    a = rng.integers(0, 4, size=20000, dtype=np.uint8)
+    b = a.copy()
+    pos = rng.integers(0, 20000, size=1500)
+    b[pos] = (b[pos] + 1) % 4
+    alen, amatch = align_long_batch([(a, b)])
+    ident = amatch[0] / max(alen[0], 1)
+    assert alen[0] >= 20000
+    assert 0.9 < ident < 0.96, ident
