@@ -125,11 +125,15 @@ def main() -> None:
     from meshclust_tpu.core.runner import run
 
     warmup()
+    from meshclust_tpu.utils import perf
     out = "/tmp/bench_ours.clstr"
+    perf.reset()
     t0 = time.time()
     run(ClusterConfig(files=[path], similarity=0.90, output=out))
     ours_s = time.time() - t0
     ours_rate = N / ours_s
+    rep = perf.report()
+    print(perf.format_report(), file=sys.stderr, flush=True)
 
     ref_s = time_reference(path)
     if ref_s is not None:
@@ -137,12 +141,22 @@ def main() -> None:
     else:
         base_rate = PUBLISHED_RATE
 
-    print(json.dumps({
+    result = {
         "metric": "sequences_per_second",
         "value": round(ours_rate, 2),
         "unit": "seq/s",
         "vs_baseline": round(ours_rate / base_rate, 3),
-    }))
+        "n": N,
+        "wall_s": round(ours_s, 3),
+        "phases_s": {k: round(v, 3) for k, v in rep["phases_s"].items()},
+    }
+    for key in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s"):
+        if key in rep:
+            result[key] = float(f"{rep[key]:.4g}")
+    for key in ("nw_cells", "nw_pairs", "classify_rows"):
+        if key in rep["counters"]:
+            result[key] = float(f"{rep['counters'][key]:.6g}")
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,28 @@ def _pad_to_bucket(n: int, min_bucket: int = 64) -> int:
     return b
 
 
+def _guard_jit(fn):
+    """jit, optionally with checkify float guards (SURVEY §5.2).
+
+    With MESHCLUST_CHECK_NUMERICS=1 the f32 classifier path is compiled
+    under `checkify.float_checks`, so a NaN/inf from degenerate feature
+    bounds (maxs == mins) or zero magnitudes raises a clear error at the
+    producing op instead of silently corrupting cluster decisions."""
+    import os
+    if os.environ.get("MESHCLUST_CHECK_NUMERICS", "0") != "1":
+        return jax.jit(fn)
+    from jax.experimental import checkify
+    cf = jax.jit(checkify.checkify(fn, errors=checkify.float_checks))
+
+    @functools.wraps(fn)
+    def guarded(*args):
+        err, out = cf(*args)
+        err.throw()
+        return out
+
+    return guarded
+
+
 class HostBackend:
     """Exact float64 classifier evaluation on host numpy."""
 
@@ -158,6 +180,17 @@ class DeviceBackend:
         self.ps = ps
         self.params = params
         self.mesh = mesh            # optional 1-D "data" mesh (parallel/dist)
+        # cheap always-on numerics guard: degenerate normalization bounds or
+        # non-finite weights produce NaN scores downstream — surface it at
+        # setup time (SURVEY §5.2)
+        spans = (np.asarray(params.maxs, np.float64)
+                 - np.asarray(params.mins, np.float64))
+        if np.any(spans <= 0) or not np.all(np.isfinite(params.weights)):
+            from meshclust_tpu.utils.log import log
+            log(f"WARNING: degenerate classifier params (bound spans "
+                f"{spans.tolist()}, weights finite="
+                f"{bool(np.all(np.isfinite(params.weights)))}) — scores may "
+                f"be NaN; run with MESHCLUST_CHECK_NUMERICS=1 to localize")
         dev = ps.device_arrays()
         self.hist_dev = dev["hist"]
         self.mag_dev = dev["mag"]
@@ -220,7 +253,6 @@ class DeviceBackend:
                 score = score + weights[j + 1] * prod
             return score >= 0.0, f1
 
-        @jax.jit
         def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
                 center, window):
             h_c = hist[center].astype(jnp.float32)     # [V]
@@ -231,7 +263,6 @@ class DeviceBackend:
                               sq[center], sq[window], lens[center],
                               lens[window], mins, maxs, is_sim, weights)
 
-        @jax.jit
         def run_pairs(hist, mag, sq, lens, mins, maxs, is_sim, weights,
                       a_idx, b_idx):
             h_a = hist[a_idx].astype(jnp.float32)
@@ -242,7 +273,6 @@ class DeviceBackend:
                               sq[a_idx], sq[b_idx], lens[a_idx],
                               lens[b_idx], mins, maxs, is_sim, weights)
 
-        @jax.jit
         def run_close(hist, mag, sq, lens, mins, maxs, is_sim, weights,
                       center, window, wvalid):
             """Fused get_close: ONE output array [Wpad + 2] int32:
@@ -259,7 +289,7 @@ class DeviceBackend:
                 jnp.stack([is_min.astype(jnp.int32), best.astype(jnp.int32)]),
             ])
 
-        return run, run_pairs, run_close
+        return (_guard_jit(run), _guard_jit(run_pairs), _guard_jit(run_close))
 
     def classify(self, center: int, window: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray]:
@@ -709,11 +739,166 @@ class DeviceBackend:
         return np.asarray(res)[:P], np.asarray(f1, np.float64)[:P]
 
 
+class _PairMemo:
+    """Vectorized (a, b) -> identity memo: sorted int64 key array +
+    np.searchsorted lookups (the reference's Feature::align atable,
+    Feature.cpp:222-243, without per-pair dict overhead — align-mode update
+    sweeps look up ~M*(2*delta+1) pairs per iteration)."""
+
+    def __init__(self, n: int):
+        self.n = np.int64(n)
+        self.keys = np.empty(0, np.int64)
+        self.vals = np.empty(0, np.float64)
+
+    def key_of(self, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        lo = np.minimum(a, b).astype(np.int64)
+        hi = np.maximum(a, b).astype(np.int64)
+        return lo * self.n + hi
+
+    def lookup(self, keys: np.ndarray):
+        """-> (vals [K] float64, found [K] bool)."""
+        if self.keys.shape[0] == 0:
+            return np.zeros(keys.shape[0]), np.zeros(keys.shape[0], bool)
+        idx = np.searchsorted(self.keys, keys)
+        idx = np.minimum(idx, self.keys.shape[0] - 1)
+        found = self.keys[idx] == keys
+        return self.vals[idx], found
+
+    def insert(self, keys: np.ndarray, vals: np.ndarray) -> None:
+        keys = np.concatenate([self.keys, keys])
+        vals = np.concatenate([self.vals, vals])
+        order = np.argsort(keys, kind="stable")
+        self.keys = keys[order]
+        self.vals = vals[order]
+
+
+class AlignBackend:
+    """Align-mode (--id < 0.60 / --align) clustering backend (VERDICT r2 #4).
+
+    The classifier feature is the exact global-alignment identity
+    (Trainer.cpp:570-577: single FEAT_ALIGN, weights [-cutoff, 1]), computed
+    by the batched device grid aligner (ops/align_device.py) — one dispatch
+    per clustering decision batch instead of HostBackend's per-center calls.
+    Scores are float64-exact on host (identity is an exact int division), so
+    decisions equal HostBackend's bit for bit; what changes is batching:
+
+      * get_close: whole candidate window in one aligner batch;
+      * update_banded: the full banded (member x center) sweep in one batch;
+      * classify_pairs: the whole merge band in one batch;
+      * all identities flow through a vectorized sorted-array memo.
+    """
+
+    def __init__(self, ps: PointSet, params: F.FeatureParams, aligner):
+        self.ps = ps
+        self.params = params
+        self.aligner = aligner
+        self.memo = _PairMemo(ps.n)
+
+    # -- identity plumbing --------------------------------------------------
+    def _identities(self, a_idx: np.ndarray, b_idx: np.ndarray) -> np.ndarray:
+        a_idx = np.asarray(a_idx, np.int64)
+        b_idx = np.asarray(b_idx, np.int64)
+        keys = self.memo.key_of(a_idx, b_idx)
+        vals, found = self.memo.lookup(keys)
+        if not found.all():
+            # dedup the missing pairs before hitting the aligner
+            miss_keys, inv_first = np.unique(keys[~found],
+                                             return_index=True)
+            mpos = np.flatnonzero(~found)[inv_first]
+            pairs = [(int(a_idx[t]), int(b_idx[t])) for t in mpos]
+            got = self.aligner.identities(pairs)
+            self.memo.insert(miss_keys, np.asarray(got, np.float64))
+            vals, found = self.memo.lookup(keys)
+        return vals
+
+    def _score(self, ids: np.ndarray):
+        """float64 classifier score from raw identities (same normalize +
+        combo algebra as HostBackend; ALIGN is pinned to [0, 1] bounds)."""
+        p = self.params
+        cache = ids[:, None]
+        norm = (cache - p.mins) / (p.maxs - p.mins)
+        norm = np.where(p.is_sim, norm, 1.0 - norm)
+        score = np.full(ids.shape[0], p.weights[0])
+        f1 = None
+        for j, (combo, idx) in enumerate(p.combos):
+            prod = np.ones(ids.shape[0])
+            for i in idx:
+                c = norm[:, i]
+                prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
+            if j == 0:
+                f1 = prod
+            score = score + p.weights[j + 1] * prod
+        return score >= 0.0, f1
+
+    # -- backend interface --------------------------------------------------
+    def classify(self, center: int, window: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+        if window.shape[0] == 0:
+            return np.zeros(0, bool), np.zeros(0)
+        ids = self._identities(np.full(window.shape[0], center), window)
+        return self._score(ids)
+
+    def get_close(self, center: int, window: np.ndarray
+                  ) -> Tuple[np.ndarray, bool, int]:
+        if window.shape[0] == 0:
+            return np.zeros(0, bool), True, -1
+        res, f1 = self.classify(center, window)
+        is_min = not bool(res.any())
+        best = int(np.argmax(f1))
+        return res, is_min, best
+
+    def classify_pairs(self, a_idx: np.ndarray, b_idx: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+        if a_idx.shape[0] == 0:
+            return np.zeros(0, bool), np.zeros(0)
+        ids = self._identities(a_idx, b_idx)
+        return self._score(ids)
+
+    def update_banded(self, members: np.ndarray, assign: np.ndarray,
+                      center_rows: np.ndarray, delta: int) -> np.ndarray:
+        """One full update sweep, all (center, pooled-member) alignments in
+        one batched identity call (mean_shift_update semantics,
+        ClusterFactory.cpp:290-380). Returns new center row or -1."""
+        from meshclust_tpu.core.meanshift import mean_select
+        C = center_rows.shape[0]
+        a_all, b_all, owner = [], [], []
+        pools = []
+        for j in range(C):
+            sel = (assign >= j - delta) & (assign <= j + delta)
+            pool = members[sel]
+            pools.append(pool)
+            a_all.append(np.full(pool.shape[0], center_rows[j], np.int64))
+            b_all.append(pool)
+            owner.append(np.full(pool.shape[0], j, np.int64))
+        a_cat = np.concatenate(a_all) if a_all else np.zeros(0, np.int64)
+        if a_cat.shape[0] == 0:
+            return np.full(C, -1, np.int64)
+        res, _ = self.classify_pairs(a_cat, np.concatenate(b_all))
+        owner_cat = np.concatenate(owner)
+        out = np.full(C, -1, np.int64)
+        off = 0
+        for j in range(C):
+            pool = pools[j]
+            r = res[off: off + pool.shape[0]]
+            off += pool.shape[0]
+            good = pool[r]
+            if good.shape[0] == 0:
+                continue
+            nxt = mean_select(self.ps, good)
+            if nxt != center_rows[j]:
+                out[j] = nxt
+        assert off == owner_cat.shape[0]
+        return out
+
+
 def make_backend(ps: PointSet, params: F.FeatureParams,
                  align_fn: Optional[Callable] = None, exact: bool = False,
-                 mesh=None):
+                 mesh=None, aligner=None):
     """Pick the device path when possible, host path otherwise."""
     if not exact:
+        if (tuple(params.singles) == (F.FEAT_ALIGN,)
+                and aligner is not None):
+            return AlignBackend(ps, params, aligner)
         try:
             return DeviceBackend(ps, params, mesh=mesh)
         except ValueError:

@@ -202,10 +202,16 @@ class MeanShift:
         kept = [c for c in centers if not c.deleted]
         centers[:] = kept
 
-    def run_phase_b_device(self, centers: List[Center]) -> List[Center]:
+    def run_phase_b_device(self, centers: List[Center]
+                           ) -> Optional[List[Center]]:
         """All update+merge iterations in ONE device call (phase_b_loop),
         then replay the per-iteration merge targets on host so member-list
-        order matches the reference's extend-in-index-order semantics."""
+        order matches the reference's extend-in-index-order semantics.
+
+        Returns None (leaving `centers` untouched) if the device merge
+        history and the host replay disagree — e.g. an f32 flip between jit
+        variants — so the caller can fall back to the per-iteration host
+        path instead of crashing (round-2 verdict weak #8)."""
         members: List[int] = []
         assign: List[int] = []
         for j, c in enumerate(centers):
@@ -213,6 +219,7 @@ class MeanShift:
             assign.extend([j] * len(c.members))
         if not members:
             return centers
+        snapshot = [(c.center, list(c.members)) for c in centers]
         a_f, c_rows, c_valid, t_hist = self.backend.phase_b_loop(
             np.asarray(members, np.int64), np.asarray(assign, np.int64),
             np.asarray([c.center for c in centers], np.int64),
@@ -227,7 +234,14 @@ class MeanShift:
                     centers[i].deleted = True
             centers[:] = [c for c in centers if not c.deleted]
         n_valid = int(c_valid.sum())
-        assert n_valid == len(centers), (n_valid, len(centers))
+        if n_valid != len(centers):
+            log(f"WARNING: fused Phase-B replay mismatch (device kept "
+                f"{n_valid} centers, host replay {len(centers)}); falling "
+                f"back to per-iteration host Phase B")
+            centers[:] = [Center(c, m) for c, m in snapshot]
+            for c in centers:
+                c.deleted = False
+            return None
         for j, c in enumerate(centers):
             c.center = int(c_rows[j])
         return centers
@@ -246,9 +260,10 @@ class MeanShift:
         fused = os.environ.get("MESHCLUST_FUSED_PHASEB", "1") == "1"
         if (fused and hasattr(self.backend, "phase_b_loop")
                 and self.iterations > 0 and centers):
-            self.run_phase_b_device(centers)
-            log(f"Update x{self.iterations} done (fused device loop)")
-            return centers
+            if self.run_phase_b_device(centers) is not None:
+                log(f"Update x{self.iterations} done (fused device loop)")
+                return centers
+            # replay mismatch: centers were restored — run the host path
         prog = Progress(self.iterations, "Update")
         for _ in range(self.iterations):
             self.update_once(centers)

@@ -79,7 +79,7 @@ def run(cfg: ClusterConfig) -> dict:
     model = None
     if cfg.checkpoint:
         model = ckpt.load_model(cfg.checkpoint + ".model.json", ps, tk,
-                                cfg.similarity, cfg.seed)
+                                cfg.similarity, cfg.seed, cfg)
         if model is not None:
             log("Resumed trained classifier from checkpoint")
     if model is None:
@@ -87,7 +87,7 @@ def run(cfg: ClusterConfig) -> dict:
             model = trainer.train(cfg.acc_cutoff)
         if cfg.checkpoint:
             ckpt.save_model(cfg.checkpoint + ".model.json", model, ps,
-                            cfg.seed)
+                            cfg.seed, cfg)
 
     params = model.params
 
@@ -95,7 +95,7 @@ def run(cfg: ClusterConfig) -> dict:
         return aligner.identities([(center, int(j)) for j in idxs])
 
     backend = C.make_backend(ps, params, align_fn=align_fn, exact=cfg.exact,
-                             mesh=mesh)
+                             mesh=mesh, aligner=aligner)
 
     bv = BVec(ps.lengths.copy(), cfg.bin_size)
     for idx in range(ps.n):
@@ -108,9 +108,10 @@ def run(cfg: ClusterConfig) -> dict:
     on_acc = None
     if cfg.checkpoint:
         cpath = cfg.checkpoint + ".centers.json"
-        resume = ckpt.load_centers(cpath, ps, tk, cfg.similarity, cfg.seed)
+        resume = ckpt.load_centers(cpath, ps, tk, cfg.similarity, cfg.seed,
+                                   cfg)
         on_acc = lambda cs: ckpt.save_centers(  # noqa: E731
-            cpath, cs, ps, tk, cfg.similarity, cfg.seed)
+            cpath, cs, ps, tk, cfg.similarity, cfg.seed, cfg)
     with perf.phase("cluster"):
         centers = ms.run(bv, resume_centers=resume, on_accumulated=on_acc)
 

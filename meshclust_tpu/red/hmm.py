@@ -134,6 +134,50 @@ class HMM:
             states[i - 1] = st[i - 1] + (npos if is_neg else 0)
         return states
 
+    def decode_states_device(self, scores: np.ndarray, r_start: int,
+                             r_end: int) -> np.ndarray:
+        """Device Viterbi: same 2-reachable-state recurrence as
+        `decode_states`, expressed as two `jax.lax.scan`s (forward max+
+        backpointer sweep, reverse backtrack). Per-step 2x2 transition
+        log-prob tiles are gathered host-side; the scans run compiled.
+        Tie-breaks match the numpy oracle exactly (strict `>` forward —
+        ties take the from-negative branch; `>=` at readout — the positive
+        state wins)."""
+        import jax
+        import jax.numpy as jnp
+
+        st = scores[r_start: r_end + 1].astype(np.int64)
+        n = st.shape[0]
+        npos = self.n_pos
+        v0 = jnp.asarray([self.priors[st[0]], self.priors[st[0] + npos]])
+        if n == 1:
+            vP, vN = float(v0[0]), float(v0[1])
+            return np.asarray([st[0] + (0 if vP >= vN else npos)])
+        pp, pn = st[:-1], st[:-1] + npos
+        cp, cn = st[1:], st[1:] + npos
+        # t[j] = [[P->P, N->P], [P->N, N->N]] for the step into position j+1
+        t = np.stack([
+            np.stack([self.trans[pp, cp], self.trans[pn, cp]], axis=1),
+            np.stack([self.trans[pp, cn], self.trans[pn, cn]], axis=1),
+        ], axis=1)
+
+        def fwd(v, tm):
+            c0 = v + tm[0]
+            c1 = v + tm[1]
+            b0 = jnp.where(c0[0] > c0[1], 0, 1).astype(jnp.int32)
+            b1 = jnp.where(c1[0] > c1[1], 0, 1).astype(jnp.int32)
+            return jnp.stack([jnp.max(c0), jnp.max(c1)]), jnp.stack([b0, b1])
+
+        vT, back = jax.lax.scan(fwd, v0, jnp.asarray(t))
+        cur = jnp.where(vT[0] >= vT[1], 0, 1).astype(jnp.int32)
+
+        def bwd(carry, bk):
+            return bk[carry], carry
+
+        first, rest = jax.lax.scan(bwd, cur, back, reverse=True)
+        is_neg = np.concatenate([[int(first)], np.asarray(rest)])
+        return st + is_neg.astype(np.int64) * npos
+
     def decode_regions(self, scores: np.ndarray, r_start: int, r_end: int
                        ) -> List[List[int]]:
         """Positive-state runs as [start, end] regions (the decode overload

@@ -16,17 +16,34 @@ seed) guards against resuming against different data.
 """
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 from typing import List, Optional
 
 import numpy as np
 
-_VERSION = 1
+_VERSION = 2
 
 
-def _fingerprint(ps, k: int, cutoff: float, seed: int) -> dict:
-    return {
+def _content_hash(ps) -> str:
+    """Cheap dataset-identity digest: headers + lengths + a sample of
+    sequence bytes (first/last 64 of every 97th sequence). Catches edited
+    sequence content that identical length statistics would miss."""
+    h = hashlib.sha256()
+    h.update(np.asarray(ps.lengths, np.int64).tobytes())
+    for hd in ps.headers:
+        h.update(hd.encode("utf-8", "replace"))
+        h.update(b"\x00")
+    for i in range(0, ps.n, 97):
+        c = ps.codes[i]
+        h.update(bytes(c[:64]) + bytes(c[-64:]))
+    return h.hexdigest()
+
+
+def _fingerprint(ps, k: int, cutoff: float, seed: int, cfg=None,
+                 kind: str = "model") -> dict:
+    fp = {
         "n": int(ps.n),
         "k": int(k),
         "cutoff": float(cutoff),
@@ -34,16 +51,30 @@ def _fingerprint(ps, k: int, cutoff: float, seed: int) -> dict:
         "len_sum": int(np.asarray(ps.lengths, np.int64).sum()),
         "len_first": int(ps.lengths[0]) if ps.n else 0,
         "len_last": int(ps.lengths[-1]) if ps.n else 0,
+        "content": _content_hash(ps),
     }
+    if cfg is not None:
+        # every parameter the checkpointed artifact depends on: the model
+        # depends on the scoring matrix + sampling knobs; Phase-A centers
+        # additionally depend on the bvec bin size.
+        fp["scoring"] = [int(cfg.match), int(cfg.mismatch),
+                         int(cfg.gap_open), int(cfg.gap_continue)]
+        fp["sample_size"] = int(cfg.sample_size)
+        fp["pivots"] = int(cfg.pivots)
+        fp["acc_cutoff"] = float(cfg.acc_cutoff)
+        if kind == "centers":
+            fp["bin_size"] = int(cfg.bin_size)
+    return fp
 
 
-def save_model(path: str, model, ps, seed: int) -> None:
+def save_model(path: str, model, ps, seed: int, cfg=None) -> None:
     """Serialize a TrainedModel (classifier params) to JSON."""
     p = model.params
     blob = {
         "version": _VERSION,
         "kind": "model",
-        "fingerprint": _fingerprint(ps, model.k, model.cutoff, seed),
+        "fingerprint": _fingerprint(ps, model.k, model.cutoff, seed, cfg,
+                                    "model"),
         "k": int(model.k),
         "cutoff": float(model.cutoff),
         "singles": [int(s) for s in p.singles],
@@ -59,39 +90,42 @@ def save_model(path: str, model, ps, seed: int) -> None:
     os.replace(tmp, path)
 
 
-def load_model(path: str, ps, k: int, cutoff: float, seed: int):
+def load_model(path: str, ps, k: int, cutoff: float, seed: int, cfg=None):
     """Load a TrainedModel if the checkpoint matches this run; else None."""
     from meshclust_tpu.core.trainer import TrainedModel
     from meshclust_tpu.ops import features as F
     try:
         with open(path) as f:
             blob = json.load(f)
-    except (OSError, ValueError):
+        if blob.get("kind") != "model" or blob.get("version") != _VERSION:
+            return None
+        if blob["fingerprint"] != _fingerprint(ps, k, cutoff, seed, cfg,
+                                               "model"):
+            return None
+        feat = F.Feature(ps.V)
+        feat.lookup = [int(s) for s in blob["singles"]]
+        feat.mins = [float(x) for x in blob["mins"]]
+        feat.maxs = [float(x) for x in blob["maxs"]]
+        feat.is_sims = [bool(x) for x in blob["is_sim"]]
+        feat.is_finalized = [True] * len(feat.lookup)
+        feat.combos = [(int(c), list(ix)) for c, ix in blob["combos"]]
+        for s in feat.lookup:
+            feat.flags |= int(s)
+        return TrainedModel(feat, np.asarray(blob["weights"], np.float64),
+                            float(blob["cutoff"]), int(blob["k"]))
+    except (OSError, ValueError, KeyError, TypeError):
+        # unreadable, hand-edited, or foreign-writer blobs fall back to
+        # retraining rather than crashing the run
         return None
-    if blob.get("kind") != "model" or blob.get("version") != _VERSION:
-        return None
-    if blob["fingerprint"] != _fingerprint(ps, k, cutoff, seed):
-        return None
-    feat = F.Feature(ps.V)
-    feat.lookup = [int(s) for s in blob["singles"]]
-    feat.mins = [float(x) for x in blob["mins"]]
-    feat.maxs = [float(x) for x in blob["maxs"]]
-    feat.is_sims = [bool(x) for x in blob["is_sim"]]
-    feat.is_finalized = [True] * len(feat.lookup)
-    feat.combos = [(int(c), list(ix)) for c, ix in blob["combos"]]
-    for s in feat.lookup:
-        feat.flags |= int(s)
-    return TrainedModel(feat, np.asarray(blob["weights"], np.float64),
-                        float(blob["cutoff"]), int(blob["k"]))
 
 
 def save_centers(path: str, centers: List, ps, k: int, cutoff: float,
-                 seed: int) -> None:
+                 seed: int, cfg=None) -> None:
     """Serialize Phase-A output: [(center_idx, member_idxs), ...]."""
     blob = {
         "version": _VERSION,
         "kind": "centers",
-        "fingerprint": _fingerprint(ps, k, cutoff, seed),
+        "fingerprint": _fingerprint(ps, k, cutoff, seed, cfg, "centers"),
         "centers": [[int(c.center), [int(m) for m in c.members]]
                     for c in centers],
     }
@@ -101,17 +135,18 @@ def save_centers(path: str, centers: List, ps, k: int, cutoff: float,
     os.replace(tmp, path)
 
 
-def load_centers(path: str, ps, k: int, cutoff: float, seed: int
+def load_centers(path: str, ps, k: int, cutoff: float, seed: int, cfg=None
                  ) -> Optional[List]:
     from meshclust_tpu.core.meanshift import Center
     try:
         with open(path) as f:
             blob = json.load(f)
-    except (OSError, ValueError):
+        if blob.get("kind") != "centers" or blob.get("version") != _VERSION:
+            return None
+        if blob["fingerprint"] != _fingerprint(ps, k, cutoff, seed, cfg,
+                                               "centers"):
+            return None
+        return [Center(int(c), [int(m) for m in ms])
+                for c, ms in blob["centers"]]
+    except (OSError, ValueError, KeyError, TypeError):
         return None
-    if blob.get("kind") != "centers" or blob.get("version") != _VERSION:
-        return None
-    if blob["fingerprint"] != _fingerprint(ps, k, cutoff, seed):
-        return None
-    return [Center(int(c), [int(m) for m in ms])
-            for c, ms in blob["centers"]]

@@ -54,3 +54,79 @@ def test_forced_align_flag(rng, make_fasta, tmp_path):
                             use_pallas=False))
     assert res["model"].k == 0
     assert res["n_clusters"] >= 3
+
+
+def _align_params(cutoff):
+    from meshclust_tpu.ops import features as F
+    feat = F.Feature(256)
+    feat.add_feature(F.FEAT_ALIGN, F.COMBO_SELF)
+    feat.mins[0] = 0.0
+    feat.maxs[0] = 1.0
+    feat.finalize()
+    return feat.params(np.array([-cutoff, 1.0]))
+
+
+def test_align_backend_matches_host(rng):
+    """AlignBackend (batched device-path align-mode backend, VERDICT r2 #4)
+    must make bit-identical decisions to HostBackend with FEAT_ALIGN."""
+    from meshclust_tpu.core.classify import AlignBackend, HostBackend
+    from meshclust_tpu.core.points import build_points
+    from meshclust_tpu.io import fasta
+    from meshclust_tpu.ops.align_device import DeviceAligner
+
+    seqs = []
+    for s in range(4):
+        base = random_dna(rng, 120 + int(rng.integers(0, 30)))
+        for c in range(6):
+            seq = base if c == 0 else mutate(rng, base, 0.25)
+            seqs.append(fasta.encode_record(f">x{s}_{c}", seq.encode()))
+    ps = build_points(seqs, k=3, use_pallas=False)
+    params = _align_params(0.50)
+    aligner = DeviceAligner(ps.codes)
+
+    def align_fn(center, idxs):
+        return aligner.identities([(center, int(j)) for j in idxs])
+
+    ab = AlignBackend(ps, params, aligner)
+    hb = HostBackend(ps, params, align_fn=align_fn)
+
+    window = np.asarray(
+        sorted(rng.choice(ps.n, size=15, replace=False)), np.int64)
+    res_a, f1_a = ab.classify(3, window)
+    res_h, f1_h = hb.classify(3, window)
+    np.testing.assert_array_equal(res_a, res_h)
+    np.testing.assert_array_equal(f1_a, f1_h)
+
+    # get_close agrees with the classify-derived reduction
+    res, is_min, best = ab.get_close(3, window)
+    np.testing.assert_array_equal(res, res_h)
+    assert is_min == (not res_h.any())
+    assert best == int(np.argmax(f1_h))
+
+    # classify_pairs symmetry + memo: second call hits the memo only
+    a_idx = np.asarray([0, 1, 2, 5], np.int64)
+    b_idx = np.asarray([7, 9, 2, 11], np.int64)
+    r1, f1p = ab.classify_pairs(a_idx, b_idx)
+    n_before = ab.memo.keys.shape[0]
+    r2, f2p = ab.classify_pairs(b_idx, a_idx)   # swapped operands
+    assert ab.memo.keys.shape[0] == n_before    # no new alignments
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(f1p, f2p)
+
+    # update_banded equals the manual per-center host sweep
+    from meshclust_tpu.core.meanshift import mean_select
+    C = 4
+    center_rows = np.asarray([0, 6, 12, 18], np.int64)
+    members = np.arange(ps.n, dtype=np.int64)
+    assign = np.repeat(np.arange(C), ps.n // C).astype(np.int64)
+    got = ab.update_banded(members, assign, center_rows, delta=1)
+    for j in range(C):
+        sel = (assign >= j - 1) & (assign <= j + 1)
+        pool = members[sel]
+        res_j, _ = hb.classify(int(center_rows[j]), pool)
+        good = pool[res_j]
+        want = -1
+        if good.shape[0]:
+            w = mean_select(ps, good)
+            want = w if w != center_rows[j] else -1
+        assert got[j] == want, (j, got[j], want)

@@ -46,15 +46,41 @@ def test_checkpoint_fingerprint_mismatch(make_fasta, rng, tmp_path):
     path = _dataset(make_fasta, rng)
     out = str(tmp_path / "a.clstr")
     prefix = str(tmp_path / "ck")
-    res = run(ClusterConfig(files=[path], similarity=0.90, output=out,
-                            sample_size=300, iterations=2,
-                            checkpoint=prefix))
+    cfg = ClusterConfig(files=[path], similarity=0.90, output=out,
+                        sample_size=300, iterations=2, checkpoint=prefix)
+    res = run(cfg)
+    cfg = cfg.finalize()
     ps = res["pointset"]
     # same file, different cutoff => fingerprint differs => None
     assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.83,
-                           10) is None
+                           10, cfg) is None
     assert ckpt.load_centers(prefix + ".centers.json", ps, res["k"], 0.83,
-                             10) is None
+                             10, cfg) is None
+    # changed scoring / sampling knobs => None (advisor round-2 medium:
+    # the model depends on the scoring matrix and sample_size)
+    import dataclasses
+    cfg_m = dataclasses.replace(cfg, mismatch=-2)
+    assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.90,
+                           10, cfg_m) is None
+    cfg_s = dataclasses.replace(cfg, sample_size=500)
+    assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.90,
+                           10, cfg_s) is None
+    # centers additionally depend on bin_size
+    cfg_b = dataclasses.replace(cfg, bin_size=999)
+    assert ckpt.load_centers(prefix + ".centers.json", ps, res["k"], 0.90,
+                             10, cfg_b) is None
     # matching key loads
     assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.90,
-                           10) is not None
+                           10, cfg) is not None
+    assert ckpt.load_centers(prefix + ".centers.json", ps, res["k"], 0.90,
+                             10, cfg) is not None
+    # structurally-valid JSON with missing keys falls back to None, not a
+    # crash (advisor round-2 low)
+    import json
+    with open(prefix + ".model.json") as f:
+        blob = json.load(f)
+    del blob["singles"]
+    with open(prefix + ".model.json", "w") as f:
+        json.dump(blob, f)
+    assert ckpt.load_model(prefix + ".model.json", ps, res["k"], 0.90,
+                           10, cfg) is None
