@@ -248,11 +248,13 @@ class MeanShift:
 
     def run(self, bv: BVec, resume_centers: Optional[List[Center]] = None,
             on_accumulated=None) -> List[Center]:
+        from meshclust_tpu.utils import perf
         if resume_centers is not None:
             centers = resume_centers
             log(f"Resumed {len(centers)} accumulated centers (checkpoint)")
         else:
-            centers = self.accumulate_all(bv)
+            with perf.phase("accumulate"):
+                centers = self.accumulate_all(bv)
             log(f"Accumulated {len(centers)} initial centers")
             if on_accumulated is not None:
                 on_accumulated(centers)
@@ -260,7 +262,9 @@ class MeanShift:
         fused = os.environ.get("MESHCLUST_FUSED_PHASEB", "1") == "1"
         if (fused and hasattr(self.backend, "phase_b_loop")
                 and self.iterations > 0 and centers):
-            if self.run_phase_b_device(centers) is not None:
+            with perf.phase("phase_b"):
+                ok = self.run_phase_b_device(centers)
+            if ok is not None:
                 log(f"Update x{self.iterations} done (fused device loop)")
                 return centers
             # replay mismatch: centers were restored — run the host path

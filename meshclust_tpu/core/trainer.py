@@ -97,12 +97,25 @@ class Trainer:
         orders_dev = jnp.concatenate(order_rows, axis=0)
 
         class DevOrders:
+            def __init__(self):
+                self.orders_dev = orders_dev    # [P, N] device-resident
+
             def gather(self, ii, jj):
                 out = orders_dev[jnp.asarray(np.asarray(ii, np.int32)),
                                  jnp.asarray(np.asarray(jj, np.int32))]
                 return np.asarray(out).astype(np.int64)
 
         return DevOrders()
+
+    def _probe_aligner(self):
+        """The DeviceAligner when the fused probe-round path is usable."""
+        if self.exact:
+            return None
+        if self._dev_aligner is None:
+            from meshclust_tpu.ops.align_device import DeviceAligner
+            self._dev_aligner = DeviceAligner(self.ps.codes)
+        da = self._dev_aligner
+        return da if da.probe_rounds_supported() else None
 
     # -- alignment labeling -------------------------------------------------
     def _default_align_batch(self, pairs: Sequence[Tuple[int, int]]
@@ -142,6 +155,40 @@ class Trainer:
         pivot_pos = np.full(len(pivots), 2 * offset0, np.int64)
         offsets = np.full(len(pivots), offset0, np.int64)
         done = offsets <= 0
+        fused = (self.align_batch == self._default_align_batch
+                 and hasattr(orders, "orders_dev")
+                 and self._probe_aligner() is not None)
+        if fused:
+            # one fused device dispatch per round (orders gather + operand
+            # pack + NW grid kernel); the identity-vs-cutoff comparison
+            # stays float64 on host — bit-identical decisions to the
+            # unfused path (ops/align_device._probe_round)
+            from meshclust_tpu.utils import perf
+            da = self._probe_aligner()
+            pivot_rows = np.asarray(pivots, np.int64)
+            while not done.all():
+                with perf.phase("align"):
+                    alen, amatch, plen = da.probe_round(
+                        orders.orders_dev, pivot_rows, pivot_pos, ~done)
+                ids = amatch.astype(np.float64) / np.maximum(
+                    alen.astype(np.float64), 1.0)
+                live_idx = np.flatnonzero(~done)
+                perf.add("nw_pairs", live_idx.shape[0])
+                perf.add("nw_cells", float(
+                    (self.ps.lengths[pivot_rows[live_idx]]
+                     * plen[live_idx]).sum()))
+                for i in live_idx:
+                    algn = ids[i]
+                    if algn < self.cutoff:
+                        pivot_pos[i] -= offsets[i]
+                    elif algn > self.cutoff:
+                        pivot_pos[i] += offsets[i]
+                    else:
+                        done[i] = True
+                        continue
+                    offsets[i] //= 2
+                    if offsets[i] <= 0:
+                        done[i] = True
         while not done.all():
             live = [i for i in range(len(pivots)) if not done[i]]
             probe_pts = orders.gather(live, [int(pivot_pos[i]) for i in live])

@@ -85,15 +85,9 @@ def _align_packed(a_t, b_t, l1, l2, dmin_g, dmax_g, *, G, match, mismatch,
                       mismatch=mismatch, go=go, gc=gc, interpret=interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("Rpad", "BL", "G"))
-def _gather_operands(codes, idx_a, idx_b, l1, l2, *, Rpad, BL, G):
-    """Device-side gather + transpose from staged codes [N, Lpad] int8.
-
-    Kept in its OWN jit (cheap XLA-only compile, keyed on corpus shape) so
-    the expensive Mosaic program (`_align_packed`, keyed only on block
-    shapes) is shared across corpora and pre-compiled by warmups. The
-    intermediate operands never leave the device between the two dispatches.
-    """
+def _gather_operands_impl(codes, idx_a, idx_b, l1, l2, *, Rpad, BL, G):
+    """Traceable device-side gather + transpose from staged codes
+    [N, Lpad] int8 (see _gather_operands for the jit-boundary rationale)."""
     P = G * LANES
     Lpad = codes.shape[1]
     a = jnp.take(codes, idx_a, axis=0)               # [P, Lpad] int8
@@ -118,6 +112,49 @@ def _gather_operands(codes, idx_a, idx_b, l1, l2, *, Rpad, BL, G):
     dmin_g = jnp.min(s, axis=1, keepdims=True).astype(jnp.int32)
     dmax_g = jnp.max(s, axis=1, keepdims=True).astype(jnp.int32)
     return (a_t, b_t, l1.reshape(1, P), l2.reshape(1, P), dmin_g, dmax_g)
+
+
+@functools.partial(jax.jit, static_argnames=("Rpad", "BL", "G"))
+def _gather_operands(codes, idx_a, idx_b, l1, l2, *, Rpad, BL, G):
+    """Device-side gather + transpose from staged codes [N, Lpad] int8.
+
+    Kept in its OWN jit (cheap XLA-only compile, keyed on corpus shape) so
+    the expensive Mosaic program (`_align_packed`, keyed only on block
+    shapes) is shared across corpora and pre-compiled by warmups. The
+    intermediate operands never leave the device between the two dispatches.
+    """
+    return _gather_operands_impl(codes, idx_a, idx_b, l1, l2, Rpad=Rpad,
+                                 BL=BL, G=G)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "Rpad", "BL", "G", "match", "mismatch", "go", "gc"))
+def _probe_round(codes, lens, orders, pivot_rows, pivot_pos, live, *,
+                 Rpad, BL, G, match, mismatch, go, gc):
+    """ONE fused binary-search probe round for the trainer (SURVEY §3.2,
+    Trainer.cpp:702-721): gather each live pivot's probe point from its
+    device-resident distance order, gather/pack the code operands, run the
+    grid NW kernel — all in one dispatch, one [2, P] readback. The exact
+    `identity < cutoff` comparison stays on host in float64 (parity with
+    the reference's double semantics, Trainer.cpp:115-127).
+
+    codes [N, Lpad] i8 staged corpus; lens [N] i32; orders [P0, N] i32
+    distance-sort order per pivot; pivot_rows [P] i32 point rows (padded);
+    pivot_pos [P] i32 current probe rank; live [P] bool.
+    """
+    P = G * LANES
+    P0 = orders.shape[0]
+    rows = jnp.minimum(jnp.arange(P, dtype=jnp.int32), P0 - 1)
+    probe = orders[rows, jnp.clip(pivot_pos, 0, orders.shape[1] - 1)]
+    ia = pivot_rows.astype(jnp.int32)
+    ib = probe.astype(jnp.int32)
+    l1 = jnp.where(live, lens[ia], 1).astype(jnp.int32)
+    l2 = jnp.where(live, lens[ib], 1).astype(jnp.int32)
+    a_t, b_t, l1r, l2r, dmin_g, dmax_g = _gather_operands_impl(
+        codes, ia, ib, l1, l2, Rpad=Rpad, BL=BL, G=G)
+    alen, amatch = _grid_call(dmin_g, dmax_g, a_t, b_t, l1r, l2r, G=G,
+                              match=match, mismatch=mismatch, go=go, gc=gc)
+    return jnp.stack([alen, amatch, l2r[0]])
 
 
 def _bucket_rows(x: int) -> int:
@@ -184,6 +221,42 @@ class DeviceAligner:
         return len(self.codes) * lpad <= self.stage_mb * (1 << 20)
 
     # -- public API ----------------------------------------------------------
+    def probe_rounds_supported(self) -> bool:
+        """Fused probe rounds need the staged TPU grid path."""
+        return self._on_tpu() and self._can_stage()
+
+    def probe_round(self, orders_dev, pivot_rows: np.ndarray,
+                    pivot_pos: np.ndarray, live: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        """One fused binary-search probe round (see _probe_round). Returns
+        (alignment_length, matches, probe_len) int64 [n_pivots]; dead
+        pivots carry degenerate 1x1 results the caller must ignore."""
+        codes_dev, _ = self._stage()
+        if not hasattr(self, "_lens_dev"):
+            self._lens_dev = jax.device_put(
+                self.lengths.astype(np.int32))
+        n = pivot_rows.shape[0]
+        lmax = int(self.lengths.max())
+        ba = _bucket_rows(lmax)
+        bb = _bucket_pow2(lmax, 64)
+        Rpad = _round_up(ba + 1, 8)
+        BL = _round_up(ba + bb + 2, 8)
+        G = max(1, (n + LANES - 1) // LANES)
+        P = G * LANES
+        rows = np.zeros(P, np.int32)
+        rows[:n] = pivot_rows
+        pos = np.zeros(P, np.int32)
+        pos[:n] = pivot_pos
+        lv = np.zeros(P, bool)
+        lv[:n] = live
+        out = np.asarray(_probe_round(
+            codes_dev, self._lens_dev, orders_dev, jnp.asarray(rows),
+            jnp.asarray(pos), jnp.asarray(lv), Rpad=Rpad, BL=BL, G=G,
+            match=self.match, mismatch=self.mismatch, go=self.go,
+            gc=self.gc))
+        return (out[0, :n].astype(np.int64), out[1, :n].astype(np.int64),
+                out[2, :n].astype(np.int64))
+
     def identities(self, pairs: Sequence[Tuple[int, int]]) -> np.ndarray:
         """Float64 identities for (index_a, index_b) pairs (exact host
         division of exact int32 match/length counts)."""

@@ -298,6 +298,7 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
         impl = "scatter"
     k1_, k2_ = _split_k(k)
     lane_bytes = 4 * (4 ** k1_ + 4 ** k2_) if impl == "xla_matmul" else 8
+    from meshclust_tpu.utils import perf
     for bucket in length_buckets(lengths):
         Lp = round_up(max(max(lengths[i] for i in bucket), LANE), LANE)
         # row chunk bounded by a ~1 GiB one-hot budget, fixed sizes for
@@ -313,25 +314,31 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
                 s.segments.shape[0] == 1 and s.segments[0, 0] == 0
                 and s.segments[0, 1] == s.length - 1 for s in sub)
             if all_simple:
-                codes = np.zeros((rp, Lp), np.uint8)
-                lens_arr = np.zeros(rp, np.int32)
-                for i, s in enumerate(sub):
-                    codes[i, : s.length] = s.codes
-                    lens_arr[i] = s.length
-                counts, ones, _ = featurize_batch_simple(
-                    _put(codes), _put(lens_arr), k, init, impl)
+                with perf.phase("feat_pack"):
+                    codes = np.zeros((rp, Lp), np.uint8)
+                    lens_arr = np.zeros(rp, np.int32)
+                    for i, s in enumerate(sub):
+                        codes[i, : s.length] = s.codes
+                        lens_arr[i] = s.length
+                with perf.phase("feat_device"):
+                    counts, ones, _ = featurize_batch_simple(
+                        _put(codes), _put(lens_arr), k, init, impl)
             else:
-                codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
-                if rp != rows:
-                    pad = ((0, rp - rows), (0, 0))
-                    codes = np.pad(codes, pad)
-                    valid = np.pad(valid, pad)
-                    inseg = np.pad(inseg, pad)
-                counts, ones, _ = featurize_batch_device(
-                    _put(codes), _put(valid), _put(inseg), k, init, impl)
-            hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
-            k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
-    mag = hist.astype(np.int64).sum(axis=1)
+                with perf.phase("feat_pack"):
+                    codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
+                    if rp != rows:
+                        pad = ((0, rp - rows), (0, 0))
+                        codes = np.pad(codes, pad)
+                        valid = np.pad(valid, pad)
+                        inseg = np.pad(inseg, pad)
+                with perf.phase("feat_device"):
+                    counts, ones, _ = featurize_batch_device(
+                        _put(codes), _put(valid), _put(inseg), k, init, impl)
+            with perf.phase("feat_readback"):
+                hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
+                k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
+    with perf.phase("feat_stats"):
+        mag = hist.astype(np.int64).sum(axis=1)
     return {
         "hist": hist,
         "one_mers": k1,

@@ -170,3 +170,38 @@ def test_tiled_long_aligner_compiles_and_matches():
     ident = amatch[0] / max(alen[0], 1)
     assert alen[0] >= 20000
     assert 0.9 < ident < 0.96, ident
+
+
+@requires_tpu
+def test_fused_probe_rounds_match_unfused():
+    """Trainer.split's fused one-dispatch-per-round binary search must pick
+    the SAME training pairs as the per-call path (float64 host compare on
+    exact int kernel results — bucket-independent)."""
+    from meshclust_tpu.core.points import build_points
+    from meshclust_tpu.core.trainer import Trainer
+    from meshclust_tpu.io import fasta
+    from meshclust_tpu.ops.align_device import DeviceAligner
+    from tests.conftest import mutate, random_dna
+    rng = np.random.default_rng(23)
+    seqs = []
+    for s in range(10):
+        base = random_dna(rng, 200 + int(rng.integers(-30, 30)))
+        for c in range(20):
+            seq = base if c == 0 else mutate(rng, base, 0.05)
+            seqs.append(fasta.encode_record(f">p{s}_{c}", seq.encode()))
+    ps = build_points(seqs, k=3, use_pallas=False)
+
+    def make():
+        tr = Trainer(ps, n_points=120, cutoff=0.90, max_pts_from_one=20,
+                     k=3)
+        tr._dev_aligner = DeviceAligner(ps.codes)
+        return tr
+
+    tr_fused = make()
+    assert tr_fused._probe_aligner() is not None
+    pairs_fused = tr_fused.split()
+
+    tr_plain = make()
+    tr_plain._dev_aligner.probe_rounds_supported = lambda: False
+    pairs_plain = tr_plain.split()
+    assert pairs_fused == pairs_plain
