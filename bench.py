@@ -32,14 +32,16 @@ REF_SECONDS_FILE = f"/tmp/meshclust_bench_ref_{N}_{LEN}.txt"
 PUBLISHED_RATE = 15000 / 4.28   # Tables/Real.csv:12 (authors' 2018 CPU)
 
 
-def make_dataset() -> str:
-    if os.path.exists(FASTA):
-        return FASTA
+def make_dataset(n: int = N) -> str:
+    species = max(10, n // 100)
+    fasta = f"/tmp/meshclust_bench_{n}_{LEN}.fasta"
+    if os.path.exists(fasta):
+        return fasta
     rng = np.random.default_rng(42)
     letters = np.frombuffer(b"ACGT", dtype=np.uint8)
-    per = N // SPECIES
-    with open(FASTA + ".tmp", "wb") as f:
-        for s in range(SPECIES):
+    per = n // species
+    with open(fasta + ".tmp", "wb") as f:
+        for s in range(species):
             L = LEN + int(rng.integers(-LEN // 10, LEN // 10))
             base = rng.integers(0, 4, size=L, dtype=np.int8)
             seqs = np.tile(base, (per, 1))
@@ -52,8 +54,8 @@ def make_dataset() -> str:
             for c in range(per):
                 f.write(b">sp%d_c%d\n" % (s, c))
                 f.write(rows[c, : ends[c]].tobytes() + b"\n")
-    os.replace(FASTA + ".tmp", FASTA)
-    return FASTA
+    os.replace(fasta + ".tmp", fasta)
+    return fasta
 
 
 def time_reference(path: str) -> float | None:
@@ -113,6 +115,27 @@ def warmup() -> None:
     align_identity_batch(probes)
 
 
+def _perf_row(name, n, wall_s, rep, cold_s=None, published_s=None):
+    row = {
+        "name": name,
+        "n": n,
+        "wall_s": round(wall_s, 3),
+        "seq_per_s": round(n / wall_s, 2),
+        "phases_s": {k: round(v, 3) for k, v in rep["phases_s"].items()},
+    }
+    if cold_s is not None:
+        row["cold_wall_s"] = round(cold_s, 3)
+    if published_s is not None:
+        row["vs_published_ref"] = round(published_s / wall_s, 3)
+    for key in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s"):
+        if key in rep:
+            row[key] = float(f"{rep[key]:.4g}")
+    for key in ("nw_cells", "nw_pairs"):
+        if key in rep["counters"]:
+            row[key] = float(f"{rep['counters'][key]:.6g}")
+    return row
+
+
 def main() -> None:
     path = make_dataset()
 
@@ -123,24 +146,48 @@ def main() -> None:
 
     from meshclust_tpu.config import ClusterConfig
     from meshclust_tpu.core.runner import run
+    from meshclust_tpu.utils import perf
+
+    def timed(cfg):
+        perf.reset()
+        t0 = time.time()
+        run(cfg)
+        return time.time() - t0, perf.report()
 
     warmup()
-    from meshclust_tpu.utils import perf
     out = "/tmp/bench_ours.clstr"
     # Cold run: pays any jit/Mosaic compiles this machine has never seen
     # (they land in the persistent compilation cache, utils/jaxcache — a
     # one-time per-machine cost, the analogue of the reference's AOT-built
     # binary). Steady run: pure execution throughput.
-    t0 = time.time()
-    run(ClusterConfig(files=[path], similarity=0.90, output=out))
-    cold_s = time.time() - t0
-    perf.reset()
-    t0 = time.time()
-    run(ClusterConfig(files=[path], similarity=0.90, output=out))
-    ours_s = time.time() - t0
+    cold_s, _ = timed(ClusterConfig(files=[path], similarity=0.90,
+                                    output=out))
+    ours_s, rep = timed(ClusterConfig(files=[path], similarity=0.90,
+                                      output=out))
     ours_rate = N / ours_s
-    rep = perf.report()
     print(perf.format_report(), file=sys.stderr, flush=True)
+    rows = [_perf_row(f"{N//1000}k_id90", N, ours_s, rep, cold_s=cold_s,
+                      published_s=4.28 if N == 15000 else None)]
+
+    quick = os.environ.get("BENCH_QUICK") == "1"
+    if not quick and N == 15000:
+        # 150k row (reference published wall: 77.54 s, Tables/Real.csv:37)
+        big = 150000
+        big_path = make_dataset(big)
+        big_cold, _ = timed(ClusterConfig(
+            files=[big_path], similarity=0.90, output=out))
+        big_s, big_rep = timed(ClusterConfig(
+            files=[big_path], similarity=0.90, output=out))
+        print(perf.format_report(), file=sys.stderr, flush=True)
+        rows.append(_perf_row("150k_id90", big, big_s, big_rep,
+                              cold_s=big_cold, published_s=77.54))
+        # align-mode row (reference published: 6:47.68 = 407.68 s at 15k
+        # --id 0.90 --align, Tables/Align.csv:7)
+        align_s, al_rep = timed(ClusterConfig(
+            files=[path], similarity=0.90, align=True, output=out))
+        print(perf.format_report(), file=sys.stderr, flush=True)
+        rows.append(_perf_row("15k_id90_align", N, align_s, al_rep,
+                              published_s=407.68))
 
     ref_s = time_reference(path)
     if ref_s is not None:
@@ -156,14 +203,8 @@ def main() -> None:
         "n": N,
         "wall_s": round(ours_s, 3),
         "cold_wall_s": round(cold_s, 3),
-        "phases_s": {k: round(v, 3) for k, v in rep["phases_s"].items()},
+        "rows": rows,
     }
-    for key in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s"):
-        if key in rep:
-            result[key] = float(f"{rep[key]:.4g}")
-    for key in ("nw_cells", "nw_pairs", "classify_rows"):
-        if key in rep["counters"]:
-            result[key] = float(f"{rep['counters'][key]:.6g}")
     print(json.dumps(result))
 
 

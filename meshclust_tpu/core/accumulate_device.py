@@ -107,17 +107,25 @@ def _pick_tile(N: int) -> int:
     return t
 
 
+_BUILD_CACHE: dict = {}
+
+
 def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                      singles, combos, tile: int = 0):
     """Build the jitted full-phase-A function.
 
     Static: N slots, V lanes, nbins, Cmax center capacity, similarity, the
     combo structure. Inputs are the per-slot arrays; returns (owner [N],
-    stamp [N], center_slot [Cmax], n_centers).
+    stamp [N], center_slot [Cmax], n_centers). Built programs are cached
+    process-wide so repeat runs skip the (large) retrace.
     """
     singles = tuple(singles)
     combos = tuple((c, tuple(ix)) for c, ix in combos)
     T = tile or _pick_tile(N)
+    key = (N, V, nbins, Cmax, float(sim), singles, combos, T)
+    cached = _BUILD_CACHE.get(key)
+    if cached is not None:
+        return cached
 
     def fn(hist_s, mag_s, sq_s, len_s, bin_of, bin_start, bin_end,
            begin_bounds, mins, maxs, is_sim, weights):
@@ -375,7 +383,9 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
         (active, owner, stamp, t, _, c, center_slot, _, _) = state
         return owner, stamp, center_slot, c
 
-    return jax.jit(fn)
+    jitted = jax.jit(fn)
+    _BUILD_CACHE[key] = jitted
+    return jitted
 
 
 def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,

@@ -34,6 +34,33 @@ def _pad_to_bucket(n: int, min_bucket: int = 64) -> int:
     return b
 
 
+_FN_CACHE: Dict[tuple, object] = {}
+
+
+def _mesh_key(mesh):
+    if mesh is None:
+        return None
+    return tuple(int(d.id) for d in mesh.devices.flat)
+
+
+def _cached_build(key, builder):
+    """Process-wide cache of built jitted programs. A fresh DeviceBackend
+    per run() used to rebuild (and retrace) every jit closure — ~2 s of
+    pure tracing per run at 15k scale (round-3 measurement: a warm
+    phase_b_loop executes in 0.36 s but the bench phase showed 2.2 s).
+    Keyed on everything the closures capture."""
+    fn = _FN_CACHE.get(key)
+    if fn is None:
+        fn = builder()
+        _FN_CACHE[key] = fn
+    return fn
+
+
+def _guard_env() -> str:
+    import os
+    return os.environ.get("MESHCLUST_CHECK_NUMERICS", "0")
+
+
 def _guard_jit(fn):
     """jit, optionally with checkify float guards (SURVEY §5.2).
 
@@ -69,8 +96,8 @@ class HostBackend:
     def _raw_cache(self, center: int, window: np.ndarray) -> np.ndarray:
         """[W, S] raw single values for candidate rows vs the center."""
         ps = self.ps
-        h_c = ps.hist[center].astype(np.int64)
-        h_w = ps.hist[window].astype(np.int64)
+        h_c = ps.hist_rows(np.asarray([center]))[0].astype(np.int64)
+        h_w = ps.hist_rows(window).astype(np.int64)
         man = np.abs(h_w - h_c[None, :]).sum(axis=1).astype(np.float64)
         dot = (h_w @ h_c).astype(np.float64)
         mag_a = np.float64(ps.mag[center])
@@ -200,9 +227,29 @@ class DeviceBackend:
         self.maxs = jnp.asarray(params.maxs, jnp.float32)
         self.is_sim = jnp.asarray(params.is_sim)
         self.weights = jnp.asarray(params.weights, jnp.float32)
+        if mesh is not None:
+            from meshclust_tpu.parallel import dist as _dist
+            if _dist.is_multiprocess():
+                # N>=2 hosts: the shard_map'ed Phase B needs its replicated
+                # operands as GLOBAL arrays (a committed single-device array
+                # cannot be auto-resharded across processes)
+                from jax.sharding import PartitionSpec as _P
+
+                def _rep(x):
+                    return _dist.put(mesh, _P(), np.asarray(x))
+                self.hist_dev = _rep(self.hist_dev)
+                self.mag_dev = _rep(self.mag_dev)
+                self.sq_dev = _rep(self.sq_dev)
+                self.len_dev = _rep(self.len_dev)
+                self.mins = _rep(self.mins)
+                self.maxs = _rep(self.maxs)
+                self.is_sim = _rep(self.is_sim)
+                self.weights = _rep(self.weights)
         self.singles = tuple(params.singles)
         self.combos = tuple((c, tuple(ix)) for c, ix in params.combos)
-        self._fn, self._pair_fn, self._close_fn = self._build()
+        self._fn, self._pair_fn, self._close_fn = _cached_build(
+            ("classify", ps.V, self.singles, self.combos,
+             _guard_env()), self._build)
 
     def _build(self):
         V = self.ps.V
@@ -301,8 +348,7 @@ class DeviceBackend:
         padded[:W] = window
         res, f1 = self._fn(self.hist_dev, self.mag_dev, self.sq_dev,
                            self.len_dev, self.mins, self.maxs, self.is_sim,
-                           self.weights, jnp.int32(center),
-                           jnp.asarray(padded))
+                           self.weights, np.int32(center), padded)
         return np.asarray(res)[:W], np.asarray(f1, np.float64)[:W]
 
     def get_close(self, center: int, window: np.ndarray
@@ -320,7 +366,7 @@ class DeviceBackend:
         out = np.asarray(self._close_fn(
             self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
             self.mins, self.maxs, self.is_sim, self.weights,
-            jnp.int32(center), jnp.asarray(padded), jnp.asarray(wvalid)))
+            np.int32(center), padded, wvalid))
         marks = out[:W] != 0
         is_min = bool(out[Wp] != 0)
         best = int(out[Wp + 1])
@@ -402,9 +448,10 @@ class DeviceBackend:
                 pos_list.append(pos)
                 w = pos.astype(jnp.float32)
                 sums = sums + jax.ops.segment_sum(
-                    h_m * w[:, None], jc, num_segments=Cp)
+                    h_m * w[:, None], jc, num_segments=Cp,
+                    indices_are_sorted=True)
                 counts = counts + jax.ops.segment_sum(
-                    w, jc, num_segments=Cp)
+                    w, jc, num_segments=Cp, indices_are_sorted=True)
             mean = sums / jnp.maximum(counts, 1.0)[:, None]
 
             pool_pos = jnp.arange(M, dtype=jnp.float32)
@@ -422,7 +469,8 @@ class DeviceBackend:
                 d = jnp.where(pos_list[oi], d, INF)
                 d_per_o.append(d)
                 best_d = jnp.minimum(
-                    best_d, jax.ops.segment_min(d, jc, num_segments=Cp))
+                    best_d, jax.ops.segment_min(d, jc, num_segments=Cp,
+                                          indices_are_sorted=True))
             best_pos = jnp.full((Cp,), jnp.float32(M))
             for oi, o in enumerate(range(-delta, delta + 1)):
                 j = m_assign + o
@@ -430,7 +478,8 @@ class DeviceBackend:
                 tie = (d_per_o[oi] == best_d[jc]) & pos_list[oi]
                 p = jnp.where(tie, pool_pos, jnp.float32(M))
                 best_pos = jnp.minimum(
-                    best_pos, jax.ops.segment_min(p, jc, num_segments=Cp))
+                    best_pos, jax.ops.segment_min(p, jc, num_segments=Cp,
+                                          indices_are_sorted=True))
             return best_pos.astype(jnp.int32), counts
 
         return update
@@ -559,9 +608,11 @@ class DeviceBackend:
                     pos_list.append(pos)
                     w = pos.astype(jnp.float32)
                     sums = sums + jax.ops.segment_sum(
-                        h_m * w[:, None], jc, num_segments=Cp)
+                        h_m * w[:, None], jc, num_segments=Cp,
+                        indices_are_sorted=True)
                     counts = counts + jax.ops.segment_sum(
-                        w, jc, num_segments=Cp)
+                        w, jc, num_segments=Cp,
+                        indices_are_sorted=True)
                 if mesh is not None:
                     sums = jax.lax.psum(sums, "data")
                     counts = jax.lax.psum(counts, "data")
@@ -581,7 +632,8 @@ class DeviceBackend:
                     d = jnp.where(pos_list[oi], d, INF)
                     d_per_o.append(d)
                     best_d = jnp.minimum(
-                        best_d, jax.ops.segment_min(d, jc, num_segments=Cp))
+                        best_d, jax.ops.segment_min(d, jc, num_segments=Cp,
+                                          indices_are_sorted=True))
                 if mesh is not None:
                     best_d = jax.lax.pmin(best_d, "data")
                 best_pos = jnp.full((Cp,), jnp.float32(Mtot))
@@ -591,8 +643,8 @@ class DeviceBackend:
                     tie = (d_per_o[oi] == best_d[jc]) & pos_list[oi]
                     p = jnp.where(tie, pool_pos, jnp.float32(Mtot))
                     best_pos = jnp.minimum(
-                        best_pos, jax.ops.segment_min(p, jc,
-                                                      num_segments=Cp))
+                        best_pos, jax.ops.segment_min(p, jc, num_segments=Cp,
+                                          indices_are_sorted=True))
                 if mesh is not None:
                     best_pos = jax.lax.pmin(best_pos, "data")
                 best_pos = best_pos.astype(jnp.int32)
@@ -676,21 +728,30 @@ class DeviceBackend:
         m_assign[:M] = assign
         m_valid = np.zeros(Mp, bool)
         m_valid[:M] = True
-        key = ("phaseb", Cp, delta, iterations, n_dev)
-        if not hasattr(self, "_upd_cache"):
-            self._upd_cache = {}
-        if key not in self._upd_cache:
-            self._upd_cache[key] = self._build_phaseb(
-                Cp, delta, iterations, mesh=mesh)
-        fn = self._upd_cache[key]
+        key = ("phaseb", self.ps.V, self.singles, self.combos, Cp, delta,
+               iterations, _mesh_key(mesh))
+        fn = _cached_build(
+            key, lambda: self._build_phaseb(Cp, delta, iterations,
+                                            mesh=mesh))
+        if mesh is None:
+            put_m = put_r = jnp.asarray
+            fetch = np.asarray
+        else:
+            from jax.sharding import PartitionSpec as P
+            from meshclust_tpu.parallel import dist
+
+            def put_m(x):
+                return dist.put(mesh, P("data"), x)
+
+            def put_r(x):
+                return dist.put(mesh, P(), x)
+            fetch = dist.fetch
         a, ci, cv, th = fn(
             self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
             self.mins, self.maxs, self.is_sim, self.weights,
-            jnp.asarray(m_idx), jnp.asarray(m_valid),
-            jnp.asarray(m_assign),
-            jnp.asarray(c_idx), jnp.asarray(c_valid))
-        return (np.asarray(a)[:M], np.asarray(ci), np.asarray(cv),
-                np.asarray(th))
+            put_m(m_idx), put_m(m_valid), put_m(m_assign),
+            put_r(c_idx), put_r(c_valid))
+        return (fetch(a)[:M], fetch(ci), fetch(cv), fetch(th))
 
     def update_banded(self, members: np.ndarray, assign: np.ndarray,
                       center_rows: np.ndarray, delta: int) -> np.ndarray:
@@ -703,12 +764,8 @@ class DeviceBackend:
         c_idx[:C] = center_rows
         c_valid = np.zeros(Cp, bool)
         c_valid[:C] = True
-        key = (Cp, delta)
-        if not hasattr(self, "_upd_cache"):
-            self._upd_cache = {}
-        if key not in self._upd_cache:
-            self._upd_cache[key] = self._build_update(Cp, delta)
-        fn = self._upd_cache[key]
+        key = ("update", self.ps.V, self.singles, self.combos, Cp, delta)
+        fn = _cached_build(key, lambda: self._build_update(Cp, delta))
         best_pos, _ = fn(self.hist_dev, self.mag_dev, self.sq_dev,
                          self.len_dev, self.mins, self.maxs, self.is_sim,
                          self.weights, jnp.asarray(members.astype(np.int32)),
@@ -734,8 +791,7 @@ class DeviceBackend:
         bp[:P] = b_idx
         res, f1 = self._pair_fn(
             self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
-            self.mins, self.maxs, self.is_sim, self.weights,
-            jnp.asarray(ap), jnp.asarray(bp))
+            self.mins, self.maxs, self.is_sim, self.weights, ap, bp)
         return np.asarray(res)[:P], np.asarray(f1, np.float64)[:P]
 
 
@@ -860,6 +916,9 @@ class AlignBackend:
         one batched identity call (mean_shift_update semantics,
         ClusterFactory.cpp:290-380). Returns new center row or -1."""
         from meshclust_tpu.core.meanshift import mean_select
+        _ = self.ps.hist   # materialize host histogram ONCE: mean_select
+        # below runs per center — per-call device gathers would pay a
+        # tunnel round trip each
         C = center_rows.shape[0]
         a_all, b_all, owner = [], [], []
         pools = []

@@ -42,7 +42,7 @@ def mean_select(ps: PointSet, members: np.ndarray) -> int:
     """get_mean (ClusterFactory.cpp:382-425): mean histogram (float64), then
     the member minimizing distance_d with the reference's per-element
     truncation (DivergencePoint.cpp:53-65). Returns a point index."""
-    h = ps.hist[members].astype(np.int64)
+    h = ps.hist_rows(members).astype(np.int64)
     c = h.sum(axis=0) / len(members)             # float64 mean
     cw = np.floor(c).astype(np.int64)            # (T)c_i trunc toward zero
     dist = 2 * np.minimum(h, cw[None, :]).sum(axis=1)
@@ -68,6 +68,7 @@ class MeanShift:
             return accumulate_device(self.ps, bv, self.backend.params,
                                      self.sim)
         ps = self.ps
+        _ = ps.hist    # host path: materialize once, not per mean_select
         centers: List[Center] = []
         prog = Progress(bv.size() + 1, "Accumulation")
         last = bv.pop()

@@ -27,7 +27,7 @@ from meshclust_tpu.ops import features as F
 
 @dataclasses.dataclass
 class PointSet:
-    hist: np.ndarray
+    hist: Optional[np.ndarray]        # host histogram (lazy when on-device)
     mag: np.ndarray
     sq: np.ndarray
     lengths: np.ndarray
@@ -36,10 +36,39 @@ class PointSet:
     codes: List[np.ndarray]
     k: int
     V: int
+    hist_dev: Optional[object] = None  # device [N, V] (storage dtype)
+    largest: int = 0                   # max k-mer count (dtype-scan input)
+
+    def __post_init__(self):
+        assert self.hist is not None or self.hist_dev is not None
+
+    def __getattribute__(self, name):
+        # Lazy host materialization: featurization keeps the histogram on
+        # device (round-3: tunnel D2H of the full [N, V] dominated wall
+        # time); the exact/oracle paths that index `ps.hist` trigger ONE
+        # full fetch on first use.
+        if name == "hist":
+            h = object.__getattribute__(self, "hist")
+            if h is None:
+                h = np.asarray(object.__getattribute__(self, "hist_dev"))
+                object.__setattr__(self, "hist", h)
+            return h
+        return object.__getattribute__(self, name)
 
     @property
     def n(self) -> int:
-        return int(self.hist.shape[0])
+        return int(self.lengths.shape[0])
+
+    def hist_rows(self, idx: np.ndarray) -> np.ndarray:
+        """Host copies of histogram rows `idx` WITHOUT materializing the
+        full host histogram: device gather + small D2H when the histogram
+        is device-resident."""
+        h = object.__getattribute__(self, "hist")
+        if h is not None:
+            return h[idx]
+        import jax.numpy as jnp
+        dev = object.__getattribute__(self, "hist_dev")
+        return np.asarray(dev[jnp.asarray(np.asarray(idx, np.int32))])
 
     def distance(self, i: int, j: int) -> int:
         """DivergencePoint::distance (uint64-truncated), used by the trainer's
@@ -62,12 +91,16 @@ class PointSet:
     def device_arrays(self) -> dict:
         import jax.numpy as jnp
         if not hasattr(self, "_dev"):
-            # hist kept in its (narrow) storage dtype on device too; every
-            # consumer casts gathered rows to f32 (fuses into the gather).
-            hdt = self.hist.dtype if self.hist.dtype.itemsize <= 4 \
-                else np.float32
+            hdev = object.__getattribute__(self, "hist_dev")
+            if hdev is None:
+                # hist kept in its (narrow) storage dtype on device too;
+                # every consumer casts gathered rows to f32 (fuses into the
+                # gather).
+                hdt = self.hist.dtype if self.hist.dtype.itemsize <= 4 \
+                    else np.float32
+                hdev = jnp.asarray(self.hist, hdt)
             self._dev = {
-                "hist": jnp.asarray(self.hist, hdt),
+                "hist": hdev,
                 "mag": jnp.asarray(self.mag, jnp.float32),
                 "sq": jnp.asarray(self.sq, jnp.float32),
                 "len": jnp.asarray(self.lengths, jnp.float32),
@@ -77,49 +110,66 @@ class PointSet:
     def distance_rows_device(self, rows: np.ndarray) -> np.ndarray:
         """DivergencePoint::distance for [P] pivots vs all points, on
         device (f32; truncation boundary flips fall under tie-breaking)."""
-        import jax
-        import jax.numpy as jnp
-
         if not hasattr(self, "_distfn"):
-            @jax.jit
-            def distfn(hist, mag, rows):
-                hist = hist.astype(jnp.float32)
-                h = hist[rows]                               # [P, V]
-                man = jnp.sum(jnp.abs(h[:, None, :] - hist[None, :, :]),
-                              axis=-1)                       # [P, N]
-                msum = mag[rows][:, None] + mag[None, :]
-                frac = (msum - man) / msum                   # 2*min_sum/msum
-                return jnp.floor(10000.0 * (1.0 - frac * frac))
-
-            self._distfn = distfn
+            self._distfn = _get_distfn()   # module-shared jit (one trace)
         dev = self.device_arrays()
         out = np.zeros((rows.shape[0], self.n), np.int64)
         for s in range(0, rows.shape[0], 64):
             chunk = rows[s: s + 64]
             out[s: s + 64] = np.asarray(self._distfn(
                 dev["hist"], dev["mag"],
-                jnp.asarray(chunk.astype(np.int32)))).astype(np.int64)
+                chunk.astype(np.int32))).astype(np.int64)
         return out
+
+
+def _make_distfn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def distfn(hist, mag, rows):
+        hist = hist.astype(jnp.float32)
+        h = hist[rows]                               # [P, V]
+        man = jnp.sum(jnp.abs(h[:, None, :] - hist[None, :, :]),
+                      axis=-1)                       # [P, N]
+        msum = mag[rows][:, None] + mag[None, :]
+        frac = (msum - man) / msum                   # 2*min_sum/msum
+        return jnp.floor(10000.0 * (1.0 - frac * frac))
+
+    return distfn
+
+
+_DISTFN = None
+
+
+def _get_distfn():
+    global _DISTFN
+    if _DISTFN is None:
+        _DISTFN = _make_distfn()
+    return _DISTFN
 
 
 def build_points(seqs: List[fio.Sequence], k: int,
                  use_pallas: bool = True, mesh=None) -> PointSet:
     """Featurize all sequences (ref ClusterFactory::build_points +
-    get_divergence_point)."""
+    get_divergence_point). On a single-mesh TPU the histogram stays
+    device-resident (feats["hist_dev"]); the host copy is lazy."""
     feats = H.featurize(seqs, k, use_pallas=use_pallas, mesh=mesh)
     hist = feats["hist"]
-    st = F.seq_stats(hist)
-    # apply the dtype scan to STORAGE (ref Runner.cpp:75-89 dispatches
-    # do_run<u8|u16|u32|u64> on the max count): 4x memory at 1M-seq scale
-    hist = hist.astype(H.storage_dtype(int(hist.max())))
+    if hist is not None:
+        # apply the dtype scan to STORAGE (ref Runner.cpp:75-89 dispatches
+        # do_run<u8|u16|u32|u64> on the max count): 4x memory at 1M scale
+        hist = hist.astype(H.storage_dtype(feats["largest"]))
     return PointSet(
         hist=hist,
-        mag=st["mag"],
-        sq=st["sq"],
+        mag=feats["mag"],
+        sq=feats["sq"],
         lengths=feats["lengths"],
         one_mers=feats["one_mers"],
         headers=[s.header for s in seqs],
         codes=[s.codes for s in seqs],
         k=k,
         V=feats["V"],
+        hist_dev=feats["hist_dev"],
+        largest=feats["largest"],
     )

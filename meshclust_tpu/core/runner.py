@@ -32,8 +32,8 @@ def sort_files(files: List[str]) -> List[str]:
 def run(cfg: ClusterConfig) -> dict:
     from meshclust_tpu.utils import jaxcache
     from meshclust_tpu.parallel import dist
+    dist.init_distributed()   # MUST precede any backend-initializing call
     jaxcache.enable()
-    dist.init_distributed()
     mesh = dist.get_mesh()
     if mesh is not None:
         log(f"Mesh: {mesh.devices.size} devices (data-parallel)")
@@ -59,7 +59,7 @@ def run(cfg: ClusterConfig) -> dict:
     log(f"Counting {k}-mers")
     with perf.phase("featurize"):
         ps = build_points(seqs, k, use_pallas=cfg.use_pallas, mesh=mesh)
-    largest_count = int(ps.hist.max())
+    largest_count = ps.largest
     bits = int(np.dtype(H.storage_dtype(largest_count)).itemsize * 8)
     log(f"Using {bits} bit histograms")
 

@@ -122,10 +122,28 @@ class Trainer:
                              ) -> np.ndarray:
         """Batched GlobAlignE identities for index pairs: single-dispatch
         grid kernel over staged device codes (ops/align_device.py); falls
-        back to the XLA scan path off-TPU."""
+        back to the XLA scan path off-TPU.
+
+        Multi-host (jax.distributed): the pair list is strided across
+        processes — labeling is embarrassingly parallel — and the identity
+        slices are exchanged with one process_allgather (SURVEY §5.8)."""
         if self._dev_aligner is None:
             from meshclust_tpu.ops.align_device import DeviceAligner
             self._dev_aligner = DeviceAligner(self.ps.codes)
+        import jax
+        nproc = jax.process_count()
+        if nproc > 1 and len(pairs) >= 4 * nproc:
+            r = jax.process_index()
+            mine = list(pairs)[r::nproc]
+            vals = self._dev_aligner.identities(mine)
+            buf = np.zeros(len(pairs), np.float64)
+            buf[r::nproc] = vals
+            from jax.experimental import multihost_utils
+            allv = np.asarray(multihost_utils.process_allgather(buf))
+            out = np.zeros(len(pairs), np.float64)
+            for i in range(nproc):
+                out[i::nproc] = allv[i][i::nproc]
+            return out
         return self._dev_aligner.identities(pairs)
 
     # -- pair sampling ------------------------------------------------------
@@ -312,8 +330,8 @@ class Trainer:
         ps = self.ps
         a_idx = np.asarray([p for p, _ in pairs], np.int64)
         b_idx = np.asarray([q for _, q in pairs], np.int64)
-        ha = ps.hist[a_idx].astype(np.int64)
-        hb = ps.hist[b_idx].astype(np.int64)
+        ha = ps.hist_rows(a_idx).astype(np.int64)
+        hb = ps.hist_rows(b_idx).astype(np.int64)
         man = np.abs(ha - hb).sum(axis=1).astype(np.float64)
         dot = (ha * hb).sum(axis=1).astype(np.float64)
         args = dict(

@@ -168,6 +168,23 @@ def histogram_pallas(codes: jnp.ndarray, valid: jnp.ndarray, k: int,
 
 
 @jax.jit
+def seq_stats_device(counts: jnp.ndarray):
+    """Exact per-sequence (mag, sq_hi, sq_lo) from int counts on device.
+
+    mag = sum(c) <= L + V fits int32. sq = sum(c^2) can exceed int32 (and
+    f32's 2^24 exact-integer range), so it is computed as an exact hi/lo
+    split: sq = (sum(c^2 >> 16) << 16) + sum(c^2 & 0xFFFF), each partial
+    sum bounded by V * 2^16 < 2^31 for V <= 4^7 and c <= 32767 (int8/int16
+    storage corpora — wider counts take the host path)."""
+    c = counts.astype(jnp.int32)
+    mag = jnp.sum(c, axis=1)
+    c2 = c * c
+    hi = jnp.sum(c2 >> 16, axis=1)
+    lo = jnp.sum(c2 & 0xFFFF, axis=1)
+    return mag, hi, lo
+
+
+@jax.jit
 def one_mer_counts(codes: jnp.ndarray, in_seg: jnp.ndarray) -> jnp.ndarray:
     """1-mer counts [B, 4] (init 0), ref get_divergence_point's second table
     (ClusterFactory.cpp:996,1001). Counted over in-segment positions."""
@@ -275,19 +292,22 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
     (the OpenMP `parallel for` at ClusterFactory.cpp:785-801, SPMD-style).
     """
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as _P
-        _rowsh = NamedSharding(mesh, _P("data"))
+        from jax.sharding import PartitionSpec as _P
+        from meshclust_tpu.parallel import dist as _dist
 
         def _put(x):
-            return jax.device_put(x, _rowsh)
+            return _dist.put(mesh, _P("data"), x)
+        _fetch = _dist.fetch
     else:
         _put = jnp.asarray
+        _fetch = np.asarray
     N = len(seqs)
     V = 4 ** k
     lengths = [s.length for s in seqs]
-    hist = np.zeros((N, V), np.int32)
-    k1 = np.zeros((N, 4), np.int64)
     on_tpu = jax.default_backend() == "tpu"
+    hist = None if (on_tpu and mesh is None) \
+        else np.zeros((N, V), np.int32)
+    k1 = np.zeros((N, 4), np.int64)
     import os as _os
     if use_pallas and on_tpu and _os.environ.get(
             "MESHCLUST_PALLAS_HIST", "0") == "1":
@@ -299,6 +319,16 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
     k1_, k2_ = _split_k(k)
     lane_bytes = 4 * (4 ** k1_ + 4 ** k2_) if impl == "xla_matmul" else 8
     from meshclust_tpu.utils import perf
+    # Device-resident output: on a (single-mesh) TPU the [N, V] histogram
+    # stays on device — only the narrow per-sequence stats come back to the
+    # host. The tunnel D2H of the full histogram (~200 ms/fetch) dominated
+    # featurization wall time (round-3 measurement); clustering consumes the
+    # device copy anyway. The host copy is materialized lazily by PointSet
+    # for the exact/oracle paths.
+    device_resident = on_tpu and mesh is None
+    chunks_dev: List = []
+    ones_dev: List = []
+    chunk_order: List[np.ndarray] = []
     for bucket in length_buckets(lengths):
         Lp = round_up(max(max(lengths[i] for i in bucket), LANE), LANE)
         # row chunk bounded by a ~1 GiB one-hot budget, fixed sizes for
@@ -334,15 +364,61 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
                 with perf.phase("feat_device"):
                     counts, ones, _ = featurize_batch_device(
                         _put(codes), _put(valid), _put(inseg), k, init, impl)
-            with perf.phase("feat_readback"):
-                hist[np.asarray(chunk)] = np.asarray(counts)[:rows]
-                k1[np.asarray(chunk)] = np.asarray(ones)[:rows]
-    with perf.phase("feat_stats"):
-        mag = hist.astype(np.int64).sum(axis=1)
+            if device_resident:
+                chunks_dev.append(counts[:rows])
+                ones_dev.append(ones[:rows])
+                chunk_order.append(np.asarray(chunk, np.int64))
+            else:
+                with perf.phase("feat_readback"):
+                    hist[np.asarray(chunk)] = _fetch(counts)[:rows]
+                    k1[np.asarray(chunk)] = _fetch(ones)[:rows]
+    if device_resident and not chunks_dev:          # empty corpus
+        hist = np.zeros((N, V), np.int32)
+        mag = np.zeros(N, np.int64)
+        sq = np.zeros(N, np.int64)
+        largest = 0
+        hist_dev = None
+    elif device_resident:
+        with perf.phase("feat_stats"):
+            perm = np.concatenate(chunk_order)
+            inv = jnp.asarray(np.argsort(perm, kind="stable")
+                              .astype(np.int32))
+            hist_dev = jnp.concatenate(chunks_dev, axis=0)[inv]
+            ones_all = jnp.concatenate(ones_dev, axis=0)[inv]
+            mag_d, hi_d, lo_d = seq_stats_device(hist_dev)
+            largest = int(jnp.max(hist_dev))
+            if largest > 32767 or V > 4 ** 7:
+                # exact-stat gate (see seq_stats_device): fall back to the
+                # host path for wide-count corpora
+                hist = np.asarray(hist_dev)
+                from meshclust_tpu.ops import features as _F
+                st = _F.seq_stats(hist)
+                mag, sq = st["mag"], st["sq"]
+                hist_dev = None
+            else:
+                hist = None
+                mag = np.asarray(mag_d).astype(np.int64)
+                sq = ((np.asarray(hi_d).astype(np.int64) << 16)
+                      + np.asarray(lo_d).astype(np.int64))
+                # narrow storage dtype on device (Runner.cpp:75-89 scan)
+                sdt = storage_dtype(largest)
+                if np.dtype(sdt).itemsize < 4:
+                    hist_dev = hist_dev.astype(sdt)
+            k1 = np.asarray(ones_all).astype(np.int64)
+    else:
+        with perf.phase("feat_stats"):
+            from meshclust_tpu.ops import features as _F
+            st = _F.seq_stats(hist)
+            mag, sq = st["mag"], st["sq"]
+            largest = int(hist.max()) if N else 0
+            hist_dev = None
     return {
         "hist": hist,
+        "hist_dev": hist_dev,
         "one_mers": k1,
         "mag": mag,
+        "sq": sq,
+        "largest": largest,
         "lengths": np.asarray(lengths, dtype=np.int64),
         "k": k,
         "V": V,

@@ -58,6 +58,39 @@ def get_mesh(n_devices: Optional[int] = None):
     return Mesh(np.array(jax.devices()[:n_devices]), axis_names=("data",))
 
 
+def is_multiprocess() -> bool:
+    import jax
+    return jax.process_count() > 1
+
+
+def put(mesh, spec, a):
+    """Multiprocess-safe device_put of a host array every process holds in
+    full: each process contributes only its addressable shards
+    (jax.make_array_from_callback), so the same code runs on a single-host
+    virtual mesh and on N-host ICI+DCN meshes."""
+    import jax
+    from jax.sharding import NamedSharding
+    sh = NamedSharding(mesh, spec)
+    if not is_multiprocess():
+        return jax.device_put(a, sh)
+    a = np.asarray(a)
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+
+def fetch(x) -> np.ndarray:
+    """Multiprocess-safe readback: np.asarray when every shard is local;
+    otherwise reshard to fully-replicated (all_gather over ICI/DCN) first —
+    a fully-replicated global array converts to numpy on every host."""
+    import jax
+    if not hasattr(x, "sharding") or x.is_fully_addressable:
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    mesh = x.sharding.mesh
+    rep = jax.jit(lambda a: a,
+                  out_shardings=NamedSharding(mesh, P()))(x)
+    return np.asarray(rep)
+
+
 def shard_batch(mesh, *arrays):
     """device_put host batches sharded on axis 0 (pads to the mesh size).
 
