@@ -68,8 +68,10 @@ def time_reference(path: str) -> float | None:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
         from tests.golden.harness import run_reference
         t0 = time.time()
+        # pin --threads to all cores so the CPU baseline is honest on any
+        # machine size (round-2 verdict weak #3)
         run_reference(path, "/tmp/bench_ref.clstr", similarity=0.90,
-                      timeout=3600)
+                      threads=os.cpu_count(), timeout=3600)
         dt = time.time() - t0
         with open(REF_SECONDS_FILE, "w") as f:
             f.write(str(dt))

@@ -53,49 +53,22 @@ INF = jnp.float32(np.inf)
 
 
 def _classify(h_w, h_c, mag_w, mag_c, sq_w, sq_c, len_w, len_c, V,
-              singles, combos, mins, maxs, is_sim, weights):
-    """Vectorized classifier rows-vs-one-center. Returns (positive, f1)."""
+              singles, combos, mins, maxs, is_sim, weights, use_ds):
+    """Vectorized classifier rows-vs-one-center.
+    Returns (positive, f1_hi, f1_lo). With use_ds, `mins` = [2,S] DS mins,
+    `maxs` = [2,S] DS spans, `weights` = [2,C+1] (core/classify layout)."""
     man = jnp.sum(jnp.abs(h_w - h_c[None, :]), axis=1)
     dot = h_w @ h_c
-    cols = []
-    for flag in singles:
-        if flag == F.FEAT_LD:
-            v = jnp.abs(len_w - len_c)
-        elif flag == F.FEAT_MANHATTAN:
-            v = man
-        elif flag == F.FEAT_INTERSECTION:
-            v = (mag_w + mag_c - man) / (mag_w + mag_c)
-        elif flag == F.FEAT_KULCZYNSKI2:
-            ap = mag_w / V
-            aq = mag_c / V
-            v = V * (ap + aq) / (2.0 * ap * aq) * (mag_w + mag_c - man) * 0.5
-        elif flag == F.FEAT_SIMRATIO:
-            norm2 = jnp.maximum(sq_w + sq_c - 2.0 * dot, 0.0)
-            v = dot / (dot + jnp.sqrt(norm2))
-        elif flag == F.FEAT_PEARSON:
-            ap = jnp.round(mag_w / V)
-            aq = jnp.round(mag_c / V)
-            np_ = sq_w - 2.0 * ap * mag_w + V * ap * ap
-            nq_ = sq_c - 2.0 * aq * mag_c + V * aq * aq
-            dotc = dot - ap * mag_c - aq * mag_w + V * ap * aq
-            v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
-        else:
-            raise AssertionError(flag)
-        cols.append(v)
-    cache = jnp.stack(cols, axis=-1)
-    norm = (cache - mins) / (maxs - mins)
-    norm = jnp.where(is_sim, norm, 1.0 - norm)
-    score = jnp.full(cache.shape[:-1], weights[0])
-    f1 = None
-    for j, (combo, idx) in enumerate(combos):
-        prod = jnp.ones(cache.shape[:-1], jnp.float32)
-        for i in idx:
-            c = norm[..., i]
-            prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
-        if j == 0:
-            f1 = prod
-        score = score + weights[j + 1] * prod
-    return score >= 0.0, f1
+    if use_ds:
+        from meshclust_tpu.ops import ds_classify as DSC
+        return DSC.score(singles, combos, mins, maxs, is_sim, weights,
+                         man, dot, mag_w, mag_c, sq_w, sq_c, len_w, len_c,
+                         V)
+    from meshclust_tpu.core.classify import _score_rows_f32
+    pos, f1 = _score_rows_f32(singles, combos, V, man, dot, mag_w, mag_c,
+                              sq_w, sq_c, len_w, len_c, mins, maxs, is_sim,
+                              weights)
+    return pos, f1, jnp.zeros_like(f1)
 
 
 def _pick_tile(N: int) -> int:
@@ -111,18 +84,19 @@ _BUILD_CACHE: dict = {}
 
 
 def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
-                     singles, combos, tile: int = 0):
+                     singles, combos, tile: int = 0, use_ds: bool = False):
     """Build the jitted full-phase-A function.
 
     Static: N slots, V lanes, nbins, Cmax center capacity, similarity, the
     combo structure. Inputs are the per-slot arrays; returns (owner [N],
     stamp [N], center_slot [Cmax], n_centers). Built programs are cached
-    process-wide so repeat runs skip the (large) retrace.
-    """
+    process-wide so repeat runs skip the (large) retrace. With use_ds every
+    classifier score / distance_d / f1 comparison runs in double-single
+    (ops/ds.py) — decisions equal the float64 host oracle."""
     singles = tuple(singles)
     combos = tuple((c, tuple(ix)) for c, ix in combos)
     T = tile or _pick_tile(N)
-    key = (N, V, nbins, Cmax, float(sim), singles, combos, T)
+    key = (N, V, nbins, Cmax, float(sim), singles, combos, T, use_ds)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         return cached
@@ -238,23 +212,30 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
 
             def tile_body(tstate):
                 (r, owner, stamp, active, mem_idx, mem_count, sumvec,
-                 count, best_f1, best_slot, any_pos) = tstate
+                 count, best_f1h, best_f1l, best_slot, any_pos) = tstate
                 ranks = r + t_ar
                 ok = ranks < r1
                 ids = rank_to_slot(qext, jnp.where(ok, ranks, qext[N]))
                 ids_c = jnp.clip(ids, 0, N - 1)
                 h_w = hist_s[ids_c].astype(jnp.float32)
-                pos, f1 = _classify(
+                pos, f1h, f1l = _classify(
                     h_w, h_c, mag_s[ids_c], mg_c, sq_s[ids_c], sq_c,
                     len_s[ids_c], ln_c, V, singles, combos,
-                    mins, maxs, is_sim, weights)
+                    mins, maxs, is_sim, weights, use_ds)
                 pos = pos & ok
-                # first-max f1 over the whole window, slot order (strict >)
-                f1m = jnp.where(ok, f1, -INF)
-                tb = jnp.argmax(f1m).astype(i32)
-                tb_f1 = f1m[tb]
-                better = tb_f1 > best_f1
-                best_f1 = jnp.where(better, tb_f1, best_f1)
+                # first-max f1 over the whole window, slot order (strict >,
+                # double-single lexicographic)
+                f1hm = jnp.where(ok, f1h, -INF)
+                f1lm = jnp.where(ok, f1l, -INF)
+                bh = jnp.max(f1hm)
+                cand = f1hm == bh
+                blm = jnp.where(cand, f1lm, -INF)
+                bl = jnp.max(blm)
+                tb = jnp.argmax(cand & (blm == bl)).astype(i32)
+                better = (bh > best_f1h) | ((bh == best_f1h)
+                                            & (bl > best_f1l))
+                best_f1h = jnp.where(better, bh, best_f1h)
+                best_f1l = jnp.where(better, bl, best_f1l)
                 best_slot = jnp.where(better, ids[tb], best_slot)
                 # absorb positives (no-ops when pos is empty)
                 pids = jnp.where(pos, ids, N)       # invalid -> dropped
@@ -271,43 +252,65 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                 count = count + npos[T - 1].astype(jnp.float32)
                 any_pos = any_pos | jnp.any(pos)
                 return (r + T, owner, stamp, active, mem_idx, mem_count,
-                        sumvec, count, best_f1, best_slot, any_pos)
+                        sumvec, count, best_f1h, best_f1l, best_slot,
+                        any_pos)
 
             init = (r0, owner, stamp, active, mem_idx, mem_count, sumvec,
-                    count, -INF, i32(-1), jnp.bool_(False))
+                    count, -INF, -INF, i32(-1), jnp.bool_(False))
             out = jax.lax.while_loop(lambda s: s[0] < r1, tile_body, init)
             (_, owner, stamp, active, mem_idx, mem_count, sumvec, count,
-             _, best_slot, any_pos) = out
+             _, _, best_slot, any_pos) = out
             return (owner, stamp, active, mem_idx, mem_count, sumvec,
                     count, best_slot, any_pos)
 
         def mean_argmin(mem_idx, mem_count, sumvec, count):
             """get_mean: mean histogram then member argmin of distance_d
-            (first min in member-insertion order), swept in [T] tiles."""
-            mean = sumvec / jnp.maximum(count, 1.0)
-            cw = jnp.floor(mean)
+            (first min in member-insertion order, double-single
+            lexicographic), swept in [T] tiles."""
+            if use_ds:
+                from meshclust_tpu.ops import ds_classify as DSC
+                from meshclust_tpu.ops import ds as DS
+                mean2 = DS.div(DS.wrap(sumvec),
+                               DS.wrap(jnp.maximum(count, 1.0)))
+            else:
+                mean = sumvec / jnp.maximum(count, 1.0)
+                cw = jnp.floor(mean)
 
             def tile_body(tstate):
-                m, best_d, best_slot = tstate
+                m, best_dh, best_dl, best_slot = tstate
                 pos = m + t_ar
                 ok = pos < mem_count
                 ids = mem_idx[jnp.clip(pos, 0, N - 1)]
                 ids_c = jnp.clip(ids, 0, N - 1)
                 h_m = hist_s[ids_c].astype(jnp.float32)
-                dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw[None, :]), axis=1)
-                mg = jnp.sum(jnp.floor(h_m + mean[None, :]), axis=1)
-                frac = dist / jnp.maximum(mg, 1.0)
-                d = jnp.where(ok, 10000.0 * (1.0 - frac * frac), INF)
-                tb = jnp.argmin(d).astype(i32)
-                better = d[tb] < best_d      # strict < keeps first min
-                best_d = jnp.where(better, d[tb], best_d)
+                if use_ds:
+                    dh, dl = DSC.distance_d_mean(
+                        h_m, (mean2[0][None, :], mean2[1][None, :]))
+                else:
+                    dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw[None, :]),
+                                         axis=1)
+                    mg = jnp.sum(jnp.floor(h_m + mean[None, :]), axis=1)
+                    frac = dist / jnp.maximum(mg, 1.0)
+                    dh = 10000.0 * (1.0 - frac * frac)
+                    dl = jnp.zeros_like(dh)
+                dh = jnp.where(ok, dh, INF)
+                dl = jnp.where(ok, dl, INF)
+                # in-tile first lexicographic min
+                mh = jnp.min(dh)
+                cand = dh == mh
+                lmin = jnp.where(cand, dl, INF)
+                ml = jnp.min(lmin)
+                tb = jnp.argmax(cand & (lmin == ml)).astype(i32)
+                better = (mh < best_dh) | ((mh == best_dh) & (ml < best_dl))
+                best_dh = jnp.where(better, mh, best_dh)
+                best_dl = jnp.where(better, ml, best_dl)
                 best_slot = jnp.where(better, ids[tb], best_slot)
-                return (m + T, best_d, best_slot)
+                return (m + T, best_dh, best_dl, best_slot)
 
             out = jax.lax.while_loop(
                 lambda s: s[0] < mem_count, tile_body,
-                (i32(0), INF, i32(-1)))
-            return out[2]
+                (i32(0), INF, INF, i32(-1)))
+            return out[3]
 
         def inner_body(state):
             (active, owner, stamp, t, last_slot, c, sumvec, count,
@@ -416,18 +419,31 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     sq_s = dev["sq"][sp]
     len_s = dev["len"][sp]
 
+    from meshclust_tpu.ops import ds as DS
+    from meshclust_tpu.ops import ds_classify as DSC
+    use_ds = DS.ds_inputs_exact(int(ps.mag.max()), int(ps.sq.max()))
+    if use_ds:
+        cb = DSC.const_block(params)
+        mins_a = jnp.asarray(cb["mins2"])
+        maxs_a = jnp.asarray(cb["spans2"])
+        weights_a = jnp.asarray(cb["weights2"])
+    else:
+        mins_a = jnp.asarray(params.mins, jnp.float32)
+        maxs_a = jnp.asarray(params.maxs, jnp.float32)
+        weights_a = jnp.asarray(params.weights, jnp.float32)
+
     Cmax = cmax_hint or (N + 1)
     fn = build_accumulate(N, ps.V, nbins, Cmax, sim,
                           params.singles,
-                          [(c, list(ix)) for c, ix in params.combos])
+                          [(c, list(ix)) for c, ix in params.combos],
+                          use_ds=use_ds)
     owner, stamp, center_slot, n_centers = fn(
         hist_s, mag_s, sq_s, len_s,
         jnp.asarray(bin_of), jnp.asarray(bin_start), jnp.asarray(bin_end),
         jnp.asarray(begin_bounds),
-        jnp.asarray(params.mins, jnp.float32),
-        jnp.asarray(params.maxs, jnp.float32),
+        mins_a, maxs_a,
         jnp.asarray(params.is_sim),
-        jnp.asarray(params.weights, jnp.float32))
+        weights_a)
     owner = np.asarray(owner)
     stamp = np.asarray(stamp)
     center_slot = np.asarray(center_slot)

@@ -61,6 +61,141 @@ def _guard_env() -> str:
     return os.environ.get("MESHCLUST_CHECK_NUMERICS", "0")
 
 
+def _score_rows_f32(singles, combos, V, man, dot, mag_a, mag_b, sq_a, sq_b,
+                    len_a, len_b, mins, maxs, is_sim, weights):
+    """Plain-f32 classifier (fallback for corpora whose integer statistics
+    exceed f32 exactness — see DeviceBackend.use_ds). mins/maxs are the
+    [S] f32 bounds."""
+    cols = []
+    for flag in singles:
+        if flag == F.FEAT_LD:
+            v = jnp.abs(len_a - len_b)
+        elif flag == F.FEAT_MANHATTAN:
+            v = man
+        elif flag == F.FEAT_INTERSECTION:
+            min_sum = (mag_a + mag_b - man) * 0.5
+            v = 2.0 * min_sum / (mag_a + mag_b)
+        elif flag == F.FEAT_KULCZYNSKI2:
+            ap = mag_a / V
+            aq = mag_b / V
+            min_sum = (mag_a + mag_b - man) * 0.5
+            v = V * (ap + aq) / (2.0 * ap * aq) * min_sum
+        elif flag == F.FEAT_SIMRATIO:
+            norm2 = jnp.maximum(sq_a + sq_b - 2.0 * dot, 0.0)
+            v = dot / (dot + jnp.sqrt(norm2))
+        elif flag == F.FEAT_PEARSON:
+            # C++ round(): half away from zero
+            ap = jnp.floor(mag_a / V + 0.5)
+            aq = jnp.floor(mag_b / V + 0.5)
+            np_ = sq_a - 2.0 * ap * mag_a + V * ap * ap
+            nq_ = sq_b - 2.0 * aq * mag_b + V * aq * aq
+            dotc = dot - ap * mag_b - aq * mag_a + V * ap * aq
+            v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
+        else:
+            raise AssertionError(flag)
+        cols.append(v)
+    cache = jnp.stack(cols, axis=-1)
+    norm = (cache - mins) / (maxs - mins)
+    norm = jnp.where(is_sim, norm, 1.0 - norm)
+    score = jnp.full(cache.shape[:-1], weights[0])
+    f1 = None
+    for j, (combo, idx) in enumerate(combos):
+        prod = jnp.ones(cache.shape[:-1], jnp.float32)
+        for i in idx:
+            c = norm[..., i]
+            prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
+        if j == 0:
+            f1 = prod
+        score = score + weights[j + 1] * prod
+    return score >= 0.0, f1
+
+
+def _lex_argmax(hi, lo, valid):
+    """First index of the lexicographic (hi, lo) maximum among valid."""
+    INF = jnp.float32(np.inf)
+    h = jnp.where(valid, hi, -INF)
+    bh = jnp.max(h)
+    cand = h == bh
+    lm = jnp.where(cand, lo, -INF)
+    bl = jnp.max(lm)
+    return jnp.argmax(cand & (lm == bl)).astype(jnp.int32)
+
+
+def _classify_rows3(use_ds, singles, combos, V, h_a, h_b, mag_a, mag_b,
+                    sq_a, sq_b, len_a, len_b, mins, maxs, is_sim, weights):
+    """Row-wise classifier from gathered histogram rows: computes the
+    man/dot reductions then scores (DS or f32 per use_ds).
+    -> (positive, f1_hi, f1_lo)."""
+    man = jnp.sum(jnp.abs(h_a - h_b), axis=-1)
+    dot = jnp.sum(h_a * h_b, axis=-1)
+    if use_ds:
+        from meshclust_tpu.ops import ds_classify as DSC
+        return DSC.score(singles, combos, mins, maxs, is_sim, weights,
+                         man, dot, mag_a, mag_b, sq_a, sq_b, len_a, len_b,
+                         V)
+    pos, f1 = _score_rows_f32(singles, combos, V, man, dot, mag_a, mag_b,
+                              sq_a, sq_b, len_a, len_b, mins, maxs, is_sim,
+                              weights)
+    return pos, f1, jnp.zeros_like(f1)
+
+
+def _banded_mean_argmin(use_ds, Cp, delta, h_m, m_assign, pos_list, sums,
+                        counts):
+    """The banded get_mean argmin (ClusterFactory.cpp:382-425): for each
+    center, the classifier-positive pooled member closest (distance_d) to
+    the center's mean histogram — FIRST minimum in pool order. Segmented
+    lexicographic min over (d_hi, d_lo, pool_pos) in three sorted-scatter
+    passes. Returns winner pool position per center ([Cp] int32, M=none."""
+    INF = jnp.float32(np.inf)
+    M = h_m.shape[0]
+    if use_ds:
+        from meshclust_tpu.ops import ds_classify as DSC
+        mean2 = DSC.mean_pair(sums, counts)
+    else:
+        mean_f32 = sums / jnp.maximum(counts, 1.0)[:, None]
+
+    d_per_o = []
+    best_dh = jnp.full((Cp,), INF)
+    for oi, o in enumerate(range(-delta, delta + 1)):
+        jc = jnp.clip(m_assign + o, 0, Cp - 1)
+        if use_ds:
+            from meshclust_tpu.ops import ds_classify as DSC
+            dh, dl = DSC.distance_d_mean(h_m, (mean2[0][jc], mean2[1][jc]))
+        else:
+            cmean = mean_f32[jc]
+            cw = jnp.floor(cmean)
+            dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
+            mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
+            frac = dist / jnp.maximum(mg, 1.0)
+            dh = 10000.0 * (1.0 - frac * frac)
+            dl = jnp.zeros_like(dh)
+        dh = jnp.where(pos_list[oi], dh, INF)
+        dl = jnp.where(pos_list[oi], dl, INF)
+        d_per_o.append((dh, dl))
+        best_dh = jnp.minimum(
+            best_dh, jax.ops.segment_min(dh, jc, num_segments=Cp,
+                                         indices_are_sorted=True))
+    best_dl = jnp.full((Cp,), INF)
+    for oi, o in enumerate(range(-delta, delta + 1)):
+        jc = jnp.clip(m_assign + o, 0, Cp - 1)
+        dh, dl = d_per_o[oi]
+        lm = jnp.where(dh == best_dh[jc], dl, INF)
+        best_dl = jnp.minimum(
+            best_dl, jax.ops.segment_min(lm, jc, num_segments=Cp,
+                                         indices_are_sorted=True))
+    pool_pos = jnp.arange(M, dtype=jnp.float32)
+    best_pos = jnp.full((Cp,), jnp.float32(M))
+    for oi, o in enumerate(range(-delta, delta + 1)):
+        jc = jnp.clip(m_assign + o, 0, Cp - 1)
+        dh, dl = d_per_o[oi]
+        tie = (dh == best_dh[jc]) & (dl == best_dl[jc]) & pos_list[oi]
+        p = jnp.where(tie, pool_pos, jnp.float32(M))
+        best_pos = jnp.minimum(
+            best_pos, jax.ops.segment_min(p, jc, num_segments=Cp,
+                                          indices_are_sorted=True))
+    return best_pos.astype(jnp.int32)
+
+
 def _guard_jit(fn):
     """jit, optionally with checkify float guards (SURVEY §5.2).
 
@@ -223,10 +358,24 @@ class DeviceBackend:
         self.mag_dev = dev["mag"]
         self.sq_dev = dev["sq"]
         self.len_dev = dev["len"]
-        self.mins = jnp.asarray(params.mins, jnp.float32)
-        self.maxs = jnp.asarray(params.maxs, jnp.float32)
+        # Double-single decision path (ops/ds.py): classifier scores and
+        # distance_d evaluated to float64-class precision on device, so
+        # decisions equal the host float64 oracle — gated on the integer
+        # statistics being f32-exact (true for every read-scale corpus).
+        from meshclust_tpu.ops import ds as _ds
+        from meshclust_tpu.ops import ds_classify as _dsc
+        self.use_ds = _ds.ds_inputs_exact(int(ps.mag.max()),
+                                          int(ps.sq.max()))
+        if self.use_ds:
+            cb = _dsc.const_block(params)
+            self.mins = jnp.asarray(cb["mins2"])       # [2, S] (hi; lo)
+            self.maxs = jnp.asarray(cb["spans2"])      # [2, S] SPANS
+            self.weights = jnp.asarray(cb["weights2"])  # [2, C+1]
+        else:
+            self.mins = jnp.asarray(params.mins, jnp.float32)
+            self.maxs = jnp.asarray(params.maxs, jnp.float32)
+            self.weights = jnp.asarray(params.weights, jnp.float32)
         self.is_sim = jnp.asarray(params.is_sim)
-        self.weights = jnp.asarray(params.weights, jnp.float32)
         if mesh is not None:
             from meshclust_tpu.parallel import dist as _dist
             if _dist.is_multiprocess():
@@ -248,57 +397,28 @@ class DeviceBackend:
         self.singles = tuple(params.singles)
         self.combos = tuple((c, tuple(ix)) for c, ix in params.combos)
         self._fn, self._pair_fn, self._close_fn = _cached_build(
-            ("classify", ps.V, self.singles, self.combos,
+            ("classify", ps.V, self.singles, self.combos, self.use_ds,
              _guard_env()), self._build)
 
     def _build(self):
         V = self.ps.V
         singles = self.singles
         combos = self.combos
+        use_ds = self.use_ds
 
         def score_rows(man, dot, mag_a, mag_b, sq_a, sq_b, len_a, len_b,
                        mins, maxs, is_sim, weights):
-            cols = []
-            for flag in singles:
-                if flag == F.FEAT_LD:
-                    v = jnp.abs(len_a - len_b)
-                elif flag == F.FEAT_MANHATTAN:
-                    v = man
-                elif flag == F.FEAT_INTERSECTION:
-                    min_sum = (mag_a + mag_b - man) * 0.5
-                    v = 2.0 * min_sum / (mag_a + mag_b)
-                elif flag == F.FEAT_KULCZYNSKI2:
-                    ap = mag_a / V
-                    aq = mag_b / V
-                    min_sum = (mag_a + mag_b - man) * 0.5
-                    v = V * (ap + aq) / (2.0 * ap * aq) * min_sum
-                elif flag == F.FEAT_SIMRATIO:
-                    norm2 = jnp.maximum(sq_a + sq_b - 2.0 * dot, 0.0)
-                    v = dot / (dot + jnp.sqrt(norm2))
-                elif flag == F.FEAT_PEARSON:
-                    ap = jnp.round(mag_a / V)
-                    aq = jnp.round(mag_b / V)
-                    np_ = sq_a - 2.0 * ap * mag_a + V * ap * ap
-                    nq_ = sq_b - 2.0 * aq * mag_b + V * aq * aq
-                    dotc = dot - ap * mag_b - aq * mag_a + V * ap * aq
-                    v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
-                else:
-                    raise AssertionError(flag)
-                cols.append(v)
-            cache = jnp.stack(cols, axis=-1)
-            norm = (cache - mins) / (maxs - mins)
-            norm = jnp.where(is_sim, norm, 1.0 - norm)
-            score = jnp.full(cache.shape[:-1], weights[0])
-            f1 = None
-            for j, (combo, idx) in enumerate(combos):
-                prod = jnp.ones(cache.shape[:-1], jnp.float32)
-                for i in idx:
-                    c = norm[..., i]
-                    prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
-                if j == 0:
-                    f1 = prod
-                score = score + weights[j + 1] * prod
-            return score >= 0.0, f1
+            """-> (positive, f1_hi, f1_lo). DS path: `mins` = [2,S] DS mins,
+            `maxs` = [2,S] DS SPANS, `weights` = [2,C+1] (see __init__)."""
+            if use_ds:
+                from meshclust_tpu.ops import ds_classify as DSC
+                return DSC.score(singles, combos, mins, maxs, is_sim,
+                                 weights, man, dot, mag_a, mag_b, sq_a,
+                                 sq_b, len_a, len_b, V)
+            pos, f1 = _score_rows_f32(
+                singles, combos, V, man, dot, mag_a, mag_b, sq_a, sq_b,
+                len_a, len_b, mins, maxs, is_sim, weights)
+            return pos, f1, jnp.zeros_like(f1)
 
         def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
                 center, window):
@@ -324,12 +444,12 @@ class DeviceBackend:
                       center, window, wvalid):
             """Fused get_close: ONE output array [Wpad + 2] int32:
             [:Wpad] marks (1 = classifier positive), [Wpad] = is_min,
-            [Wpad+1] = argmax-f1 position (first max among valid)."""
-            res, f1 = run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
-                          center, window)
+            [Wpad+1] = argmax-f1 position (first max among valid;
+            double-single lexicographic ties)."""
+            res, f1h, f1l = run(hist, mag, sq, lens, mins, maxs, is_sim,
+                                weights, center, window)
             res = res & wvalid
-            f1m = jnp.where(wvalid, f1, -jnp.inf)
-            best = jnp.argmax(f1m)  # first occurrence on ties
+            best = _lex_argmax(f1h, f1l, wvalid)
             is_min = ~jnp.any(res)
             return jnp.concatenate([
                 res.astype(jnp.int32),
@@ -346,10 +466,12 @@ class DeviceBackend:
         Wp = _pad_to_bucket(W)
         padded = np.zeros(Wp, np.int32)
         padded[:W] = window
-        res, f1 = self._fn(self.hist_dev, self.mag_dev, self.sq_dev,
-                           self.len_dev, self.mins, self.maxs, self.is_sim,
-                           self.weights, np.int32(center), padded)
-        return np.asarray(res)[:W], np.asarray(f1, np.float64)[:W]
+        res, f1h, f1l = self._fn(
+            self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
+            self.mins, self.maxs, self.is_sim, self.weights,
+            np.int32(center), padded)
+        f1 = (np.asarray(f1h, np.float64) + np.asarray(f1l, np.float64))
+        return np.asarray(res)[:W], f1[:W]
 
     def get_close(self, center: int, window: np.ndarray
                   ) -> Tuple[np.ndarray, bool, int]:
@@ -377,49 +499,15 @@ class DeviceBackend:
         V = self.ps.V
         singles = self.singles
         combos = self.combos
+        use_ds = self.use_ds
         INF = jnp.float32(np.inf)
 
         def classify_rows(h_m, h_c, mag_m, mag_c, sq_m, sq_c, len_m, len_c,
                           mins, maxs, is_sim, weights):
-            man = jnp.sum(jnp.abs(h_m - h_c), axis=-1)
-            dot = jnp.sum(h_m * h_c, axis=-1)
-            cols = []
-            for flag in singles:
-                if flag == F.FEAT_LD:
-                    v = jnp.abs(len_m - len_c)
-                elif flag == F.FEAT_MANHATTAN:
-                    v = man
-                elif flag == F.FEAT_INTERSECTION:
-                    v = (mag_m + mag_c - man) / (mag_m + mag_c)
-                elif flag == F.FEAT_KULCZYNSKI2:
-                    ap = mag_m / V
-                    aq = mag_c / V
-                    v = (V * (ap + aq) / (2.0 * ap * aq)
-                         * (mag_m + mag_c - man) * 0.5)
-                elif flag == F.FEAT_SIMRATIO:
-                    norm2 = jnp.maximum(sq_m + sq_c - 2.0 * dot, 0.0)
-                    v = dot / (dot + jnp.sqrt(norm2))
-                elif flag == F.FEAT_PEARSON:
-                    ap = jnp.round(mag_m / V)
-                    aq = jnp.round(mag_c / V)
-                    np_ = sq_m - 2.0 * ap * mag_m + V * ap * ap
-                    nq_ = sq_c - 2.0 * aq * mag_c + V * aq * aq
-                    dotc = dot - ap * mag_c - aq * mag_m + V * ap * aq
-                    v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
-                else:
-                    raise AssertionError(flag)
-                cols.append(v)
-            cache = jnp.stack(cols, axis=-1)
-            norm = (cache - mins) / (maxs - mins)
-            norm = jnp.where(is_sim, norm, 1.0 - norm)
-            score = jnp.full(cache.shape[:-1], weights[0])
-            for j, (combo, idx) in enumerate(combos):
-                prod = jnp.ones(cache.shape[:-1], jnp.float32)
-                for i in idx:
-                    c = norm[..., i]
-                    prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
-                score = score + weights[j + 1] * prod
-            return score >= 0.0
+            pos, _, _ = _classify_rows3(
+                use_ds, singles, combos, V, h_m, h_c, mag_m, mag_c, sq_m,
+                sq_c, len_m, len_c, mins, maxs, is_sim, weights)
+            return pos
 
         @jax.jit
         def update(hist, mag, sq, lens, mins, maxs, is_sim, weights,
@@ -452,35 +540,10 @@ class DeviceBackend:
                     indices_are_sorted=True)
                 counts = counts + jax.ops.segment_sum(
                     w, jc, num_segments=Cp, indices_are_sorted=True)
-            mean = sums / jnp.maximum(counts, 1.0)[:, None]
 
-            pool_pos = jnp.arange(M, dtype=jnp.float32)
-            best_d = jnp.full((Cp,), INF)
-            d_per_o = []
-            for oi, o in enumerate(range(-delta, delta + 1)):
-                j = m_assign + o
-                jc = jnp.clip(j, 0, Cp - 1)
-                cmean = mean[jc]
-                cw = jnp.floor(cmean)
-                dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
-                mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
-                frac = dist / jnp.maximum(mg, 1.0)
-                d = 10000.0 * (1.0 - frac * frac)
-                d = jnp.where(pos_list[oi], d, INF)
-                d_per_o.append(d)
-                best_d = jnp.minimum(
-                    best_d, jax.ops.segment_min(d, jc, num_segments=Cp,
-                                          indices_are_sorted=True))
-            best_pos = jnp.full((Cp,), jnp.float32(M))
-            for oi, o in enumerate(range(-delta, delta + 1)):
-                j = m_assign + o
-                jc = jnp.clip(j, 0, Cp - 1)
-                tie = (d_per_o[oi] == best_d[jc]) & pos_list[oi]
-                p = jnp.where(tie, pool_pos, jnp.float32(M))
-                best_pos = jnp.minimum(
-                    best_pos, jax.ops.segment_min(p, jc, num_segments=Cp,
-                                          indices_are_sorted=True))
-            return best_pos.astype(jnp.int32), counts
+            best_pos = _banded_mean_argmin(
+                use_ds, Cp, delta, h_m, m_assign, pos_list, sums, counts)
+            return best_pos, counts
 
         return update
 
@@ -509,65 +572,26 @@ class DeviceBackend:
         V = self.ps.V
         singles = self.singles
         combos = self.combos
+        use_ds = self.use_ds
         INF = jnp.float32(np.inf)
-        _DBL_MIN = 2.2250738585072014e-308  # Trainer.cpp:132-135 best-init
 
         def classify_f1(h_a, h_b, mag_a, mag_b, sq_a, sq_b, len_a, len_b,
                         mins, maxs, is_sim, weights):
-            """(positive, f1) for row-pairs — Trainer::merge's per-candidate
-            classification (Trainer.cpp:129-157); a = candidate center j,
-            b = center i (compute(cand, p) operand order)."""
-            man = jnp.sum(jnp.abs(h_a - h_b), axis=-1)
-            dot = jnp.sum(h_a * h_b, axis=-1)
-            cols = []
-            for flag in singles:
-                if flag == F.FEAT_LD:
-                    v = jnp.abs(len_a - len_b)
-                elif flag == F.FEAT_MANHATTAN:
-                    v = man
-                elif flag == F.FEAT_INTERSECTION:
-                    v = (mag_a + mag_b - man) / (mag_a + mag_b)
-                elif flag == F.FEAT_KULCZYNSKI2:
-                    ap = mag_a / V
-                    aq = mag_b / V
-                    v = (V * (ap + aq) / (2.0 * ap * aq)
-                         * (mag_a + mag_b - man) * 0.5)
-                elif flag == F.FEAT_SIMRATIO:
-                    norm2 = jnp.maximum(sq_a + sq_b - 2.0 * dot, 0.0)
-                    v = dot / (dot + jnp.sqrt(norm2))
-                elif flag == F.FEAT_PEARSON:
-                    ap = jnp.round(mag_a / V)
-                    aq = jnp.round(mag_b / V)
-                    np_ = sq_a - 2.0 * ap * mag_a + V * ap * ap
-                    nq_ = sq_b - 2.0 * aq * mag_b + V * aq * aq
-                    dotc = dot - ap * mag_b - aq * mag_a + V * ap * aq
-                    v = dotc / jnp.sqrt(jnp.maximum(0.5, np_ * nq_))
-                else:
-                    raise AssertionError(flag)
-                cols.append(v)
-            cache = jnp.stack(cols, axis=-1)
-            norm = (cache - mins) / (maxs - mins)
-            norm = jnp.where(is_sim, norm, 1.0 - norm)
-            score = jnp.full(cache.shape[:-1], weights[0])
-            f1 = None
-            for j, (combo, idx) in enumerate(combos):
-                prod = jnp.ones(cache.shape[:-1], jnp.float32)
-                for i in idx:
-                    c = norm[..., i]
-                    prod = prod * (c * c if combo == F.COMBO_SQUARED else c)
-                if j == 0:
-                    f1 = prod
-                score = score + weights[j + 1] * prod
-            return score >= 0.0, f1
+            """(positive, f1_hi, f1_lo) for row-pairs — Trainer::merge's
+            per-candidate classification (Trainer.cpp:129-157); a =
+            candidate center j, b = center i (compute(cand, p) order)."""
+            return _classify_rows3(
+                use_ds, singles, combos, V, h_a, h_b, mag_a, mag_b, sq_a,
+                sq_b, len_a, len_b, mins, maxs, is_sim, weights)
 
-        V = self.ps.V
         n_jump = max(1, int(np.ceil(np.log2(max(2, Cp)))))
         n_dev = 1 if mesh is None else int(mesh.devices.size)
 
         def classify_rows(h_m, h_c, mag_m, mag_c, sq_m, sq_c, len_m, len_c,
                           mins, maxs, is_sim, weights):
-            pos, _ = classify_f1(h_m, h_c, mag_m, mag_c, sq_m, sq_c,
-                                 len_m, len_c, mins, maxs, is_sim, weights)
+            pos, _, _ = classify_f1(h_m, h_c, mag_m, mag_c, sq_m, sq_c,
+                                    len_m, len_c, mins, maxs, is_sim,
+                                    weights)
             return pos
 
         def run(hist, mag, sq, lens, mins, maxs, is_sim, weights,
@@ -616,35 +640,60 @@ class DeviceBackend:
                 if mesh is not None:
                     sums = jax.lax.psum(sums, "data")
                     counts = jax.lax.psum(counts, "data")
-                mean = sums / jnp.maximum(counts, 1.0)[:, None]
 
-                best_d = jnp.full((Cp,), INF)
+                # --- distance_d argmin (double-single lexicographic
+                #     (d_hi, d_lo, global pool pos) min, pmin per pass) ----
+                if use_ds:
+                    from meshclust_tpu.ops import ds_classify as DSC
+                    mean2 = DSC.mean_pair(sums, counts)
+                else:
+                    mean_f32 = sums / jnp.maximum(counts, 1.0)[:, None]
                 d_per_o = []
+                best_dh = jnp.full((Cp,), INF)
                 for oi, o in enumerate(range(-delta, delta + 1)):
-                    j = assign + o
-                    jc = jnp.clip(j, 0, Cp - 1)
-                    cmean = mean[jc]
-                    cw = jnp.floor(cmean)
-                    dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
-                    mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
-                    frac = dist / jnp.maximum(mg, 1.0)
-                    d = 10000.0 * (1.0 - frac * frac)
-                    d = jnp.where(pos_list[oi], d, INF)
-                    d_per_o.append(d)
-                    best_d = jnp.minimum(
-                        best_d, jax.ops.segment_min(d, jc, num_segments=Cp,
-                                          indices_are_sorted=True))
+                    jc = jnp.clip(assign + o, 0, Cp - 1)
+                    if use_ds:
+                        dh, dl = DSC.distance_d_mean(
+                            h_m, (mean2[0][jc], mean2[1][jc]))
+                    else:
+                        cmean = mean_f32[jc]
+                        cw = jnp.floor(cmean)
+                        dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
+                        mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
+                        frac = dist / jnp.maximum(mg, 1.0)
+                        dh = 10000.0 * (1.0 - frac * frac)
+                        dl = jnp.zeros_like(dh)
+                    dh = jnp.where(pos_list[oi], dh, INF)
+                    dl = jnp.where(pos_list[oi], dl, INF)
+                    d_per_o.append((dh, dl))
+                    best_dh = jnp.minimum(
+                        best_dh, jax.ops.segment_min(
+                            dh, jc, num_segments=Cp,
+                            indices_are_sorted=True))
                 if mesh is not None:
-                    best_d = jax.lax.pmin(best_d, "data")
+                    best_dh = jax.lax.pmin(best_dh, "data")
+                best_dl = jnp.full((Cp,), INF)
+                for oi, o in enumerate(range(-delta, delta + 1)):
+                    jc = jnp.clip(assign + o, 0, Cp - 1)
+                    dh, dl = d_per_o[oi]
+                    lm = jnp.where(dh == best_dh[jc], dl, INF)
+                    best_dl = jnp.minimum(
+                        best_dl, jax.ops.segment_min(
+                            lm, jc, num_segments=Cp,
+                            indices_are_sorted=True))
+                if mesh is not None:
+                    best_dl = jax.lax.pmin(best_dl, "data")
                 best_pos = jnp.full((Cp,), jnp.float32(Mtot))
                 for oi, o in enumerate(range(-delta, delta + 1)):
-                    j = assign + o
-                    jc = jnp.clip(j, 0, Cp - 1)
-                    tie = (d_per_o[oi] == best_d[jc]) & pos_list[oi]
+                    jc = jnp.clip(assign + o, 0, Cp - 1)
+                    dh, dl = d_per_o[oi]
+                    tie = ((dh == best_dh[jc]) & (dl == best_dl[jc])
+                           & pos_list[oi])
                     p = jnp.where(tie, pool_pos, jnp.float32(Mtot))
                     best_pos = jnp.minimum(
-                        best_pos, jax.ops.segment_min(p, jc, num_segments=Cp,
-                                          indices_are_sorted=True))
+                        best_pos, jax.ops.segment_min(
+                            p, jc, num_segments=Cp,
+                            indices_are_sorted=True))
                 if mesh is not None:
                     best_pos = jax.lax.pmin(best_pos, "data")
                 best_pos = best_pos.astype(jnp.int32)
@@ -652,7 +701,10 @@ class DeviceBackend:
                 c_idx = jnp.where(
                     ok, m_idx_g[jnp.clip(best_pos, 0, Mtot - 1)], c_idx)
                 # --- merge: argmax-f1 classifier-positive in (i, i+delta] --
-                best_f1 = jnp.full((Cp,), _DBL_MIN, jnp.float32)
+                # best starts at DBL_MIN (Trainer.cpp:132-135): (0, 0) in
+                # double-single with strict lexicographic > is equivalent
+                best_f1h = jnp.zeros((Cp,), jnp.float32)
+                best_f1l = jnp.zeros((Cp,), jnp.float32)
                 best_t = idxC
                 h_i = hist[c_idx].astype(jnp.float32)
                 mg_i, sq_i, ln_i = mag[c_idx], sq[c_idx], lens[c_idx]
@@ -662,13 +714,16 @@ class DeviceBackend:
                     jc = jnp.clip(j, 0, Cp - 1)
                     okj = okj & c_valid[jc]
                     a = c_idx[jc]
-                    res, f1 = classify_f1(
+                    res, f1h, f1l = classify_f1(
                         hist[a].astype(jnp.float32), h_i, mag[a], mg_i,
                         sq[a], sq_i,
                         lens[a], ln_i, mins, maxs, is_sim, weights)
                     # ascending o + strict > == reference first-max tie-break
-                    cand = res & okj & (f1 > best_f1)
-                    best_f1 = jnp.where(cand, f1, best_f1)
+                    gt = (f1h > best_f1h) | ((f1h == best_f1h)
+                                             & (f1l > best_f1l))
+                    cand = res & okj & gt
+                    best_f1h = jnp.where(cand, f1h, best_f1h)
+                    best_f1l = jnp.where(cand, f1l, best_f1l)
                     best_t = jnp.where(cand, jc, best_t)
                 t = jnp.where(c_valid, best_t, idxC)
                 # chain-follow (moves cascade i -> t(i) -> ...): t is
@@ -728,7 +783,8 @@ class DeviceBackend:
         m_assign[:M] = assign
         m_valid = np.zeros(Mp, bool)
         m_valid[:M] = True
-        key = ("phaseb", self.ps.V, self.singles, self.combos, Cp, delta,
+        key = ("phaseb", self.ps.V, self.singles, self.combos,
+               self.use_ds, Cp, delta,
                iterations, _mesh_key(mesh))
         fn = _cached_build(
             key, lambda: self._build_phaseb(Cp, delta, iterations,
@@ -764,7 +820,8 @@ class DeviceBackend:
         c_idx[:C] = center_rows
         c_valid = np.zeros(Cp, bool)
         c_valid[:C] = True
-        key = ("update", self.ps.V, self.singles, self.combos, Cp, delta)
+        key = ("update", self.ps.V, self.singles, self.combos,
+               self.use_ds, Cp, delta)
         fn = _cached_build(key, lambda: self._build_update(Cp, delta))
         best_pos, _ = fn(self.hist_dev, self.mag_dev, self.sq_dev,
                          self.len_dev, self.mins, self.maxs, self.is_sim,
@@ -789,10 +846,11 @@ class DeviceBackend:
         bp = np.zeros(Pp, np.int32)
         ap[:P] = a_idx
         bp[:P] = b_idx
-        res, f1 = self._pair_fn(
+        res, f1h, f1l = self._pair_fn(
             self.hist_dev, self.mag_dev, self.sq_dev, self.len_dev,
             self.mins, self.maxs, self.is_sim, self.weights, ap, bp)
-        return np.asarray(res)[:P], np.asarray(f1, np.float64)[:P]
+        f1 = (np.asarray(f1h, np.float64) + np.asarray(f1l, np.float64))
+        return np.asarray(res)[:P], f1[:P]
 
 
 class _PairMemo:

@@ -109,9 +109,15 @@ class PointSet:
 
     def distance_rows_device(self, rows: np.ndarray) -> np.ndarray:
         """DivergencePoint::distance for [P] pivots vs all points, on
-        device (f32; truncation boundary flips fall under tie-breaking)."""
+        device. Double-single arithmetic (ops/ds.py) where the integer
+        stats are f32-exact, so the floored distances — and therefore the
+        pivot sort orders that pick the training pairs — equal the
+        reference's double/uint64 values; plain f32 otherwise."""
         if not hasattr(self, "_distfn"):
-            self._distfn = _get_distfn()   # module-shared jit (one trace)
+            from meshclust_tpu.ops import ds as _ds
+            use_ds = _ds.ds_inputs_exact(int(self.mag.max()),
+                                         int(self.sq.max()))
+            self._distfn = _get_distfn(use_ds)
         dev = self.device_arrays()
         out = np.zeros((rows.shape[0], self.n), np.int64)
         for s in range(0, rows.shape[0], 64):
@@ -122,7 +128,7 @@ class PointSet:
         return out
 
 
-def _make_distfn():
+def _make_distfn(use_ds: bool):
     import jax
     import jax.numpy as jnp
 
@@ -133,20 +139,28 @@ def _make_distfn():
         man = jnp.sum(jnp.abs(h[:, None, :] - hist[None, :, :]),
                       axis=-1)                       # [P, N]
         msum = mag[rows][:, None] + mag[None, :]
+        if use_ds:
+            # DivergencePoint::distance in double-single: dist = msum - man
+            # exactly (EFT), frac = dist/msum, d = floor(1e4*(1 - frac^2))
+            from meshclust_tpu.ops import ds
+            frac = ds.div(ds.sub(ds.wrap(msum), ds.wrap(man)),
+                          ds.wrap(msum))
+            one = ds.wrap(jnp.ones_like(frac[0]))
+            d = ds.scale(ds.sub(one, ds.mul(frac, frac)), 10000.0)
+            return ds.floor(d)[0]
         frac = (msum - man) / msum                   # 2*min_sum/msum
         return jnp.floor(10000.0 * (1.0 - frac * frac))
 
     return distfn
 
 
-_DISTFN = None
+_DISTFN = {}
 
 
-def _get_distfn():
-    global _DISTFN
-    if _DISTFN is None:
-        _DISTFN = _make_distfn()
-    return _DISTFN
+def _get_distfn(use_ds: bool):
+    if use_ds not in _DISTFN:
+        _DISTFN[use_ds] = _make_distfn(use_ds)
+    return _DISTFN[use_ds]
 
 
 def build_points(seqs: List[fio.Sequence], k: int,

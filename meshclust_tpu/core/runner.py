@@ -34,6 +34,19 @@ def run(cfg: ClusterConfig) -> dict:
     from meshclust_tpu.parallel import dist
     dist.init_distributed()   # MUST precede any backend-initializing call
     jaxcache.enable()
+    trace_dir = os.environ.get("MESHCLUST_TRACE")
+    if trace_dir:
+        # device-level kernel timings (SURVEY §5.1): view with
+        # tensorboard's profile plugin or xprof; complements the
+        # cells/s + utilization counters in utils/perf.py
+        import jax
+        with jax.profiler.trace(trace_dir):
+            return _run(cfg)
+    return _run(cfg)
+
+
+def _run(cfg: ClusterConfig) -> dict:
+    from meshclust_tpu.parallel import dist
     mesh = dist.get_mesh()
     if mesh is not None:
         log(f"Mesh: {mesh.devices.size} devices (data-parallel)")

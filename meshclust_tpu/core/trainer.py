@@ -146,26 +146,85 @@ class Trainer:
             return out
         return self._dev_aligner.identities(pairs)
 
+    def _ref_order_chain(self, num_iterations: int):
+        """Reference-faithful pivot selection + per-pivot orders
+        (Trainer.cpp:672-700): the SAME chained std::sort permutations as
+        the binary — length sort, distance-to-median sort (whose output is
+        the input order of every per-pivot sort), then per-pivot distance
+        sorts — with libstdc++'s exact unstable tie order (native/refsort).
+        Returns (pivots, orders) or None when unavailable (no native lib,
+        non-exact distances, or beyond MESHCLUST_REFSORT_MAX points)."""
+        import os
+        from meshclust_tpu import native
+        from meshclust_tpu.ops import ds as _ds
+        ps = self.ps
+        n = ps.n
+        if n > int(os.environ.get("MESHCLUST_REFSORT_MAX", "200000")):
+            return None
+        if not (self.exact or _ds.ds_inputs_exact(int(ps.mag.max()),
+                                                  int(ps.sq.max()))):
+            return None
+        if native.get_refsort() is None:
+            return None
+
+        def dist_rows(rows: np.ndarray) -> np.ndarray:
+            if self.exact:
+                return np.stack([ps.distance_row(int(r)) for r in rows]
+                                ).astype(np.int64)
+            return ps.distance_rows_device(rows)
+
+        perm = np.arange(n, dtype=np.int32)
+        native.ref_sort_perm(perm, np.asarray(ps.lengths, np.int64))
+        begin_pt = int(perm[n // 2])
+        db = dist_rows(np.asarray([begin_pt], np.int64))[0]
+        native.ref_sort_perm(perm, db.astype(np.int64))
+        pivots = [int(perm[i * (n - 1) // num_iterations])
+                  for i in range(num_iterations + 1)]
+        pdists = dist_rows(np.asarray(pivots, np.int64)).astype(np.int64)
+        orders_arr = np.tile(perm, (len(pivots), 1))
+        native.ref_sort_perm_batch(orders_arr, np.ascontiguousarray(pdists))
+
+        class RefOrders:
+            def __init__(self):
+                self._dev = None
+
+            @property
+            def orders_dev(self):
+                if self._dev is None:
+                    import jax.numpy as jnp
+                    self._dev = jnp.asarray(orders_arr)
+                return self._dev
+
+            def gather(self, ii, jj):
+                return orders_arr[np.asarray(ii, np.int64),
+                                  np.asarray(jj, np.int64)].astype(np.int64)
+
+        return pivots, RefOrders()
+
     # -- pair sampling ------------------------------------------------------
     def split(self) -> List[Tuple[int, int]]:
         ps = self.ps
         n = ps.n
-        order = np.argsort(ps.lengths, kind="stable")
-        begin_pt = int(order[n // 2])
-        begin_orders = self._pivot_orders(np.asarray([begin_pt], np.int64))
-
         num_iterations = math.ceil(self.n_points / self.max_pts_from_one) - 1
         num_iterations = max(1, num_iterations)
-        pivot_slots = [i * (n - 1) // num_iterations
-                       for i in range(num_iterations + 1)]
-        pivots = [int(x) for x in begin_orders.gather(
-            [0] * len(pivot_slots), pivot_slots)]
-        log(f"Point pairs: {len(pivots)}")
+        ref_chain = self._ref_order_chain(num_iterations)
+        if ref_chain is not None:
+            pivots, orders = ref_chain
+            log(f"Point pairs: {len(pivots)}")
+        else:
+            order = np.argsort(ps.lengths, kind="stable")
+            begin_pt = int(order[n // 2])
+            begin_orders = self._pivot_orders(
+                np.asarray([begin_pt], np.int64))
+            pivot_slots = [i * (n - 1) // num_iterations
+                           for i in range(num_iterations + 1)]
+            pivots = [int(x) for x in begin_orders.gather(
+                [0] * len(pivot_slots), pivot_slots)]
+            log(f"Point pairs: {len(pivots)}")
+            # per-pivot distance-sort orders (device-resident at scale)
+            orders = self._pivot_orders(np.asarray(pivots, np.int64))
 
         to_add_each = self.max_pts_from_one // 2
-
-        # per-pivot distance-sort orders (device-resident at scale)
-        orders = self._pivot_orders(np.asarray(pivots, np.int64))
 
         # batched binary search by TRUE alignment (ref Trainer.cpp:702-721):
         # all pivots advance one probe per round.

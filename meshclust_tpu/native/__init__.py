@@ -108,3 +108,64 @@ def parse_fasta_native(path: str, n_threads: int = 0):
         return headers, codes, rec_off, segs, seg_off
     finally:
         lib.mc_free_result(res)
+
+
+# ---------------------------------------------------------------------------
+# refsort: libstdc++-exact std::sort permutations (see refsort.cpp)
+# ---------------------------------------------------------------------------
+_RS_SRC = os.path.join(_DIR, "refsort.cpp")
+_RS_SO = os.path.join(_DIR, "_refsort.so")
+_rs_lib: Optional[ctypes.CDLL] = None
+_rs_failed = False
+
+
+def get_refsort() -> Optional[ctypes.CDLL]:
+    global _rs_lib, _rs_failed
+    if _rs_lib is not None or _rs_failed or not enabled():
+        return _rs_lib
+    with _lock:
+        if _rs_lib is not None or _rs_failed:
+            return _rs_lib
+        try:
+            if (not os.path.exists(_RS_SO)
+                    or os.path.getmtime(_RS_SO) < os.path.getmtime(_RS_SRC)):
+                tmp = _RS_SO + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, _RS_SRC],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _RS_SO)
+            lib = ctypes.CDLL(_RS_SO)
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.mc_sort_perm.restype = None
+            lib.mc_sort_perm.argtypes = [i32p, i64p, ctypes.c_int64]
+            lib.mc_sort_perm_batch.restype = None
+            lib.mc_sort_perm_batch.argtypes = [i32p, i64p, ctypes.c_int64,
+                                               ctypes.c_int64]
+            _rs_lib = lib
+        except Exception:
+            _rs_failed = True
+    return _rs_lib
+
+
+def ref_sort_perm(idx: np.ndarray, keys: np.ndarray) -> bool:
+    """In-place std::sort of idx by keys[idx]; False if unavailable."""
+    lib = get_refsort()
+    if lib is None:
+        return False
+    assert idx.dtype == np.int32 and idx.flags.c_contiguous
+    k = np.ascontiguousarray(keys, np.int64)
+    lib.mc_sort_perm(idx, k, idx.shape[0])
+    return True
+
+
+def ref_sort_perm_batch(idx: np.ndarray, keys: np.ndarray) -> bool:
+    """Row-wise in-place std::sort of idx [P, N] by keys [P, N]."""
+    lib = get_refsort()
+    if lib is None:
+        return False
+    assert idx.dtype == np.int32 and idx.flags.c_contiguous
+    k = np.ascontiguousarray(keys, np.int64)
+    lib.mc_sort_perm_batch(idx, k, idx.shape[0], idx.shape[1])
+    return True

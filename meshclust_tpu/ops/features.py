@@ -158,8 +158,9 @@ def raw_from_sums(flag: int, man, dot, mag_a, mag_b, sq_a, sq_b, len_a,
         norm2 = sq_a + sq_b - 2.0 * dot
         return dot / (dot + np.sqrt(np.maximum(norm2, 0.0)))
     if flag == FEAT_PEARSON:
-        ap = np.round(mag_a / V)
-        aq = np.round(mag_b / V)
+        # C++ round(): half away from zero (mag/V > 0 => floor(x+0.5))
+        ap = np.floor(mag_a / V + 0.5)
+        aq = np.floor(mag_b / V + 0.5)
         np_ = sq_a - 2.0 * ap * mag_a + V * ap * ap
         nq_ = sq_b - 2.0 * aq * mag_b + V * aq * aq
         dotc = dot - ap * mag_b - aq * mag_a + V * ap * aq

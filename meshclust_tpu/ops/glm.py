@@ -15,18 +15,131 @@ from typing import Tuple
 import numpy as np
 
 
+_FMA = None
+
+
+def _fma():
+    """libm fma via ctypes (Python 3.12 lacks math.fma): gcc contracts the
+    reference's `curSum + a*b` into FMA at -O3 (-ffp-contract=fast), so
+    bit-exact weight replication needs the same single-rounding product."""
+    global _FMA
+    if _FMA is None:
+        import ctypes
+        import ctypes.util
+        lib = ctypes.CDLL(ctypes.util.find_library("m"))
+        lib.fma.restype = ctypes.c_double
+        lib.fma.argtypes = [ctypes.c_double, ctypes.c_double,
+                            ctypes.c_double]
+        _FMA = lib.fma
+    return _FMA
+
+
+def _matmul_ref(a: np.ndarray, b: np.ndarray, fma: bool) -> np.ndarray:
+    """Matrix::operator* (Matrix.cpp:69-89): curSum accumulated over k in
+    order. Vectorized over (i, j) with k outermost preserves the identical
+    per-element accumulation order; fma=True reproduces gcc's contracted
+    `curSum = fma(a_ik, b_kj, curSum)`."""
+    R, K = a.shape
+    K2, C = b.shape
+    assert K == K2
+    if not fma:
+        out = np.zeros((R, C), np.float64)
+        for k in range(K):
+            out += a[:, k:k + 1] * b[k:k + 1, :]
+        return out
+    f = _fma()
+    out = np.zeros((R, C), np.float64)
+    for i in range(R):
+        for j in range(C):
+            s = 0.0
+            for k in range(K):
+                s = f(float(a[i, k]), float(b[k, j]), s)
+            out[i, j] = s
+    return out
+
+
+def _gauss_jordan_inverse(m: np.ndarray, fma: bool) -> np.ndarray:
+    """Matrix::gaussJordanInverse (Matrix.cpp:100-200), op-for-op float64:
+    divide the pivot row only when the pivot != 1, eliminate below in the
+    forward pass and above in the backward pass. With fma, the row update
+    `x - pv*y` is contracted like gcc -O3 emits it."""
+    n = m.shape[0]
+    a = np.array(m, np.float64)
+    inv = np.eye(n, dtype=np.float64)
+    if fma:
+        f = _fma()
+
+        def rowsub(dst, pv, src):
+            return np.asarray([f(-float(pv), float(src[j]), float(dst[j]))
+                               for j in range(n)], np.float64)
+    else:
+        def rowsub(dst, pv, src):
+            return dst - pv * src
+
+    for i in range(n):
+        if a[i, i] != 1.0:
+            if a[i, i] != 0.0:
+                pv = a[i, i]
+                a[i, :] = a[i, :] / pv
+                inv[i, :] = inv[i, :] / pv
+            else:
+                row = i + 1
+                while row < n and a[row, i] == 0.0:
+                    row += 1
+                if row >= n:
+                    raise np.linalg.LinAlgError("singular")
+                a[[i, row]] = a[[row, i]]
+                inv[[i, row]] = inv[[row, i]]
+                pv = a[i, i]
+                a[i, :] = a[i, :] / pv
+                inv[i, :] = inv[i, :] / pv
+        for below in range(i + 1, n):
+            if a[below, i] != 0.0:
+                pv = a[below, i]
+                a[below, :] = rowsub(a[below, :], pv, a[i, :])
+                inv[below, :] = rowsub(inv[below, :], pv, inv[i, :])
+    for i in range(n - 1, -1, -1):
+        for above in range(i):
+            if a[above, i] != 0.0:
+                pv = a[above, i]
+                a[above, :] = rowsub(a[above, :], pv, a[i, :])
+                inv[above, :] = rowsub(inv[above, :], pv, inv[i, :])
+    return inv
+
+
 def train(features: np.ndarray, labels: np.ndarray) -> np.ndarray:
     """features [R, C] (first column 1s), labels [R] in {+1, -1} ->
-    weights [C]."""
+    weights [C].
+
+    Replicates GLM::train's exact float64 operation sequence
+    (GLM.cpp:19-22 + Matrix::pseudoInverse, Matrix.cpp:202-214):
+      A = X^T X;  B = A^T A;  w = ((inv_GJ(B) A^T) X^T) y
+    including gcc's FMA contraction, so (given the reference-identical
+    training pairs from trainer._ref_order_chain) trained weights are
+    bit-identical to the reference binary's. MESHCLUST_GLM_FMA=0 drops
+    the contraction; MESHCLUST_GLM_REF=0 falls back to np.linalg.solve."""
+    import os
     X = np.asarray(features, np.float64)
-    y = np.asarray(labels, np.float64).reshape(-1)
-    XtX = X.T @ X
-    Xty = X.T @ y
+    y = np.asarray(labels, np.float64).reshape(-1, 1)
+    if os.environ.get("MESHCLUST_GLM_REF", "1") != "1":
+        XtX = X.T @ X
+        Xty = X.T @ y.reshape(-1)
+        try:
+            return np.linalg.solve(XtX, Xty)
+        except np.linalg.LinAlgError:
+            return np.linalg.lstsq(X, y.reshape(-1), rcond=None)[0]
+    fma = os.environ.get("MESHCLUST_GLM_FMA", "1") == "1"
+    Xt = X.T.copy()
     try:
-        w = np.linalg.solve(XtX, Xty)
+        A = _matmul_ref(Xt, X, fma)
+        B = _matmul_ref(A.T.copy(), A, fma)
+        Binv = _gauss_jordan_inverse(B, fma)
+        P = _matmul_ref(Binv, A.T.copy(), fma)
+        Q = _matmul_ref(P, Xt, fma)
+        w = _matmul_ref(Q, y, fma)
+        return w.reshape(-1)
     except np.linalg.LinAlgError:
-        w = np.linalg.lstsq(X, y, rcond=None)[0]
-    return w
+        return np.linalg.lstsq(X, y.reshape(-1), rcond=None)[0]
 
 
 def decision(features: np.ndarray, weights: np.ndarray) -> np.ndarray:

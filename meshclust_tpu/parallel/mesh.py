@@ -69,8 +69,8 @@ def _classify_cols(h_m, h_c, mag_m, mag_c, sq_m, sq_c, len_m, len_c, V,
             norm2 = jnp.maximum(sq_m + sq_c - 2.0 * dot, 0.0)
             v = dot / (dot + jnp.sqrt(norm2))
         elif flag == F.FEAT_PEARSON:
-            ap = jnp.round(mag_m / V)
-            aq = jnp.round(mag_c / V)
+            ap = jnp.floor(mag_m / V + 0.5)
+            aq = jnp.floor(mag_c / V + 0.5)
             np_ = sq_m - 2.0 * ap * mag_m + V * ap * ap
             nq_ = sq_c - 2.0 * aq * mag_c + V * aq * aq
             dotc = dot - ap * mag_c - aq * mag_m + V * ap * aq

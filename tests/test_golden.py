@@ -76,8 +76,11 @@ def _partition_equal(rl: dict, ol: dict) -> bool:
     for k in rl:
         inv_r.setdefault(rl[k], set()).add(k)
         inv_o.setdefault(ol[k], set()).add(k)
-    return sorted(map(frozenset, inv_r.values())) == \
-        sorted(map(frozenset, inv_o.values()))
+    # canonical key: sorting frozensets directly uses the subset PARTIAL
+    # order and gives input-order-dependent results (round-3 finding: a
+    # bit-identical partition compared unequal)
+    return sorted(map(tuple, map(sorted, inv_r.values()))) == \
+        sorted(map(tuple, map(sorted, inv_o.values())))
 
 
 @pytest.mark.slow
@@ -115,8 +118,10 @@ def test_parity_table(rng, make_fasta, tmp_path, have_ref):
         print(f"{seed:4d}  {ident:.2f}  {str(eq):5s}  {score:.4f}  "
               f"{nr:4d}  {no:4d}")
     # every cell must be near-perfect; most must be EXACT
-    assert all(score > 0.97 for _, _, _, score, _, _ in rows), rows
-    assert exact_cnt >= total - 2, (exact_cnt, total, rows)
+    # round 3: EVERY cell is partition-exact vs the reference binary
+    # (double-single decisions + faithful std::sort tie orders + the
+    # reference-exact GLM solve + C++ half-away rounding)
+    assert exact_cnt == total, (exact_cnt, total, rows)
 
 
 @pytest.mark.slow

@@ -205,3 +205,41 @@ def test_fused_probe_rounds_match_unfused():
     tr_plain._dev_aligner.probe_rounds_supported = lambda: False
     pairs_plain = tr_plain.split()
     assert pairs_fused == pairs_plain
+
+
+@requires_tpu
+def test_ds_matches_float64_on_hardware():
+    """The double-single classifier must deliver float64-class decisions on
+    the REAL TPU compile stack (XLA-TPU forces excess-precision mode; the
+    optimization barriers in ops/ds.py must survive it)."""
+    import jax.numpy as jnp
+    from meshclust_tpu.ops import ds, ds_classify as DSC
+    from tests.test_ds import _host_score, _mk_stats
+    import __graft_entry__ as g
+    rng = np.random.default_rng(5)
+    V = 256
+    _, _, _, _, params = g._toy_model(V=V)
+    man, dot, mag_a, mag_b, sq_a, sq_b, len_a, len_b = _mk_stats(rng, 4096,
+                                                                 V)
+    score64, f164 = _host_score(params, man, dot, mag_a, mag_b, sq_a, sq_b,
+                                len_a, len_b, V)
+    cb = DSC.const_block(params)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)   # noqa: E731
+
+    @jax.jit
+    def run(man, dot, mag_a, mag_b, sq_a, sq_b, len_a, len_b):
+        return DSC.score(tuple(params.singles),
+                         tuple((c, tuple(i)) for c, i in params.combos),
+                         jnp.asarray(cb["mins2"]), jnp.asarray(cb["spans2"]),
+                         jnp.asarray(cb["is_sim"]),
+                         jnp.asarray(cb["weights2"]),
+                         man, dot, mag_a, mag_b, sq_a, sq_b, len_a, len_b,
+                         V)
+
+    pos, f1h, f1l = run(f32(man), f32(dot), f32(mag_a), f32(mag_b),
+                        f32(sq_a), f32(sq_b), f32(len_a), f32(len_b))
+    clear = np.abs(score64) > 1e-10
+    np.testing.assert_array_equal(np.asarray(pos)[clear],
+                                  (score64 >= 0)[clear])
+    f1ds = np.asarray(f1h, np.float64) + np.asarray(f1l, np.float64)
+    np.testing.assert_allclose(f1ds, f164, rtol=1e-12, atol=1e-12)
