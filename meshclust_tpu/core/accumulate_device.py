@@ -73,7 +73,12 @@ def _classify(h_w, h_c, mag_w, mag_c, sq_w, sq_c, len_w, len_c, V,
 
 def _pick_tile(N: int) -> int:
     """Static sweep-chunk width: one tile for small runs, bounded VMEM
-    working set ([TILE, V] f32 gather) for large ones."""
+    working set ([TILE, V] f32 gather) for large ones. Override with
+    MESHCLUST_ACCUM_TILE."""
+    import os
+    t_env = int(os.environ.get("MESHCLUST_ACCUM_TILE", "0"))
+    if t_env:
+        return t_env
     t = 512
     while t < N and t < 4096:
         t *= 2
@@ -448,6 +453,10 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     stamp = np.asarray(stamp)
     center_slot = np.asarray(center_slot)
     n_centers = int(n_centers)
+    # perf counters: total absorb iterations (stamps) + centers found
+    from meshclust_tpu.utils import perf
+    perf.add("accum_iters", float(stamp.max()) if N else 0.0)
+    perf.add("accum_centers", float(n_centers))
     if n_centers > Cmax:
         raise RuntimeError("center capacity exceeded; raise cmax_hint")
 

@@ -46,6 +46,42 @@ class BVec:
         self.idx[target].append(point_idx)
         self.lens[target].append(int(length))
 
+    def bulk_insert(self, lengths: np.ndarray) -> None:
+        """Insert points 0..N-1 (id order) with the sequential least-filled
+        rule, without N Python-level insert calls. The native helper
+        (native/bvec_insert.cpp: memoized index_of + a segment tree over bin
+        sizes, O(N log nbins)) computes the per-point target bin; the Python
+        per-insert loop remains the oracle (tests/test_bvec.py) and the
+        fallback. At 1M points the Python loop costs minutes; this is ~0.1 s.
+        """
+        from meshclust_tpu import native
+        lengths = np.asarray(lengths, np.int64)
+        targets = native.bvec_targets(lengths,
+                                      np.asarray(self.begin_bounds, np.int64))
+        if targets is None:
+            memo = {}
+            for idx in range(lengths.shape[0]):
+                ln = int(lengths[idx])
+                fb = memo.get(ln)
+                if fb is None:
+                    fb = memo[ln] = self._index_of(ln)
+                front, back = fb
+                sizes = [len(self.idx[i]) for i in range(front, back + 1)]
+                minimum = min(sizes)
+                min_bins = [front + i for i, s in enumerate(sizes)
+                            if s == minimum]
+                target = min_bins[len(min_bins) // 2]
+                self.idx[target].append(idx)
+                self.lens[target].append(ln)
+            return
+        order = np.argsort(targets, kind="stable")
+        tg = targets[order]
+        starts = np.searchsorted(tg, np.arange(len(self.idx) + 1))
+        for b in range(len(self.idx)):
+            sl = order[starts[b]: starts[b + 1]]
+            self.idx[b] = sl.astype(np.int64).tolist()
+            self.lens[b] = lengths[sl].tolist()
+
     def insert_finalize(self) -> None:
         for b in range(len(self.idx)):
             lens = np.asarray(self.lens[b], np.int64)

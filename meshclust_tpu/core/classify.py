@@ -252,6 +252,9 @@ class HostBackend:
             extras["js"] = F.jenson_shannon_pairs(
                 ps.hist[center][None], ps.hist[window],
                 ps.mag[center: center + 1], ps.mag[window])[0]
+        if F.FEAT_RREE_K_R in self.params.singles:
+            extras["rree"] = F.rree_k_r_pairs(
+                ps.hist[window], ps.hist[center][None])
 
         align_val = None
         if F.FEAT_ALIGN in self.params.singles:
@@ -631,12 +634,15 @@ class DeviceBackend:
                         mins, maxs, is_sim, weights) & ok_o & c_valid[jc]
                     pos_list.append(pos)
                     w = pos.astype(jnp.float32)
+                    # NOTE: no indices_are_sorted hint here — after the
+                    # merge+compaction step below, assign = newpos[T[assign]]
+                    # can become non-monotone whenever a center merges past a
+                    # surviving neighbor, and a false sortedness promise makes
+                    # XLA's sorted-scatter lowering implementation-defined.
                     sums = sums + jax.ops.segment_sum(
-                        h_m * w[:, None], jc, num_segments=Cp,
-                        indices_are_sorted=True)
+                        h_m * w[:, None], jc, num_segments=Cp)
                     counts = counts + jax.ops.segment_sum(
-                        w, jc, num_segments=Cp,
-                        indices_are_sorted=True)
+                        w, jc, num_segments=Cp)
                 if mesh is not None:
                     sums = jax.lax.psum(sums, "data")
                     counts = jax.lax.psum(counts, "data")
@@ -668,8 +674,7 @@ class DeviceBackend:
                     d_per_o.append((dh, dl))
                     best_dh = jnp.minimum(
                         best_dh, jax.ops.segment_min(
-                            dh, jc, num_segments=Cp,
-                            indices_are_sorted=True))
+                            dh, jc, num_segments=Cp))
                 if mesh is not None:
                     best_dh = jax.lax.pmin(best_dh, "data")
                 best_dl = jnp.full((Cp,), INF)
@@ -679,8 +684,7 @@ class DeviceBackend:
                     lm = jnp.where(dh == best_dh[jc], dl, INF)
                     best_dl = jnp.minimum(
                         best_dl, jax.ops.segment_min(
-                            lm, jc, num_segments=Cp,
-                            indices_are_sorted=True))
+                            lm, jc, num_segments=Cp))
                 if mesh is not None:
                     best_dl = jax.lax.pmin(best_dl, "data")
                 best_pos = jnp.full((Cp,), jnp.float32(Mtot))
@@ -692,8 +696,7 @@ class DeviceBackend:
                     p = jnp.where(tie, pool_pos, jnp.float32(Mtot))
                     best_pos = jnp.minimum(
                         best_pos, jax.ops.segment_min(
-                            p, jc, num_segments=Cp,
-                            indices_are_sorted=True))
+                            p, jc, num_segments=Cp))
                 if mesh is not None:
                     best_pos = jax.lax.pmin(best_pos, "data")
                 best_pos = best_pos.astype(jnp.int32)

@@ -235,7 +235,22 @@ class MeanShift:
                     centers[i].deleted = True
             centers[:] = [c for c in centers if not c.deleted]
         n_valid = int(c_valid.sum())
-        if n_valid != len(centers):
+        mismatch = n_valid != len(centers)
+        if not mismatch:
+            # Strengthened consistency check (round-3 advice): count
+            # equality alone lets count-preserving device corruption slip
+            # through. Verify the FULL final membership map: device assign
+            # (per original member slot) must equal the host replay's
+            # grouping exactly.
+            mem_arr = np.asarray(members, np.int64)
+            a_dev = np.asarray(a_f, np.int64)
+            lookup = np.full(int(mem_arr.max()) + 1, -1, np.int64)
+            lookup[mem_arr] = np.arange(mem_arr.shape[0])
+            replay_assign = np.full(mem_arr.shape[0], -1, np.int64)
+            for j, c in enumerate(centers):
+                replay_assign[lookup[np.asarray(c.members, np.int64)]] = j
+            mismatch = not np.array_equal(replay_assign, a_dev)
+        if mismatch:
             log(f"WARNING: fused Phase-B replay mismatch (device kept "
                 f"{n_valid} centers, host replay {len(centers)}); falling "
                 f"back to per-iteration host Phase B")

@@ -111,8 +111,7 @@ def _run(cfg: ClusterConfig) -> dict:
                              mesh=mesh, aligner=aligner)
 
     bv = BVec(ps.lengths.copy(), cfg.bin_size)
-    for idx in range(ps.n):
-        bv.insert(idx, int(ps.lengths[idx]))
+    bv.bulk_insert(ps.lengths)
     bv.insert_finalize()
 
     ms = MeanShift(ps, backend, sim=cfg.similarity, delta=cfg.delta,

@@ -236,36 +236,61 @@ class Trainer:
                  and hasattr(orders, "orders_dev")
                  and self._probe_aligner() is not None)
         if fused:
-            # one fused device dispatch per round (orders gather + operand
-            # pack + NW grid kernel); the identity-vs-cutoff comparison
-            # stays float64 on host — bit-identical decisions to the
-            # unfused path (ops/align_device._probe_round)
-            from meshclust_tpu.utils import perf
+            # Speculative probe tree: the binary search's next DEPTH probe
+            # positions are fully determined by the current (pos, offset)
+            # state — (p, o) branches to (p-o, o//2) and (p+o, o//2) — so
+            # ONE well-packed aligner dispatch evaluates every position any
+            # of the next DEPTH rounds could visit (2^DEPTH - 1 per pivot),
+            # then the host walks the identical reference decisions
+            # (Trainer.cpp:702-721) through the precomputed identities.
+            # Bit-identical outcomes to probing one round at a time; the
+            # ~log2(N) sequential rounds of ~n_pivots pairs (which left the
+            # 128-lane grid kernel mostly idle) become ~log2(N)/DEPTH
+            # dispatches of full blocks.
+            import os as _os
             da = self._probe_aligner()
             pivot_rows = np.asarray(pivots, np.int64)
+            depth = max(1, int(_os.environ.get("MESHCLUST_PROBE_DEPTH",
+                                               "4")))
             while not done.all():
-                with perf.phase("align"):
-                    alen, amatch, plen = da.probe_round(
-                        orders.orders_dev, pivot_rows, pivot_pos, ~done)
-                ids = amatch.astype(np.float64) / np.maximum(
-                    alen.astype(np.float64), 1.0)
                 live_idx = np.flatnonzero(~done)
-                perf.add("nw_pairs", live_idx.shape[0])
-                perf.add("nw_cells", float(
-                    (self.ps.lengths[pivot_rows[live_idx]]
-                     * plen[live_idx]).sum()))
+                slot: Dict[Tuple[int, int], int] = {}
+                gi: List[int] = []
+                gj: List[int] = []
                 for i in live_idx:
-                    algn = ids[i]
-                    if algn < self.cutoff:
-                        pivot_pos[i] -= offsets[i]
-                    elif algn > self.cutoff:
-                        pivot_pos[i] += offsets[i]
-                    else:
-                        done[i] = True
-                        continue
-                    offsets[i] //= 2
-                    if offsets[i] <= 0:
-                        done[i] = True
+                    states = [(int(pivot_pos[i]), int(offsets[i]))]
+                    for _ in range(depth):
+                        nxt = []
+                        for (p, o) in states:
+                            if (i, p) not in slot:
+                                slot[(i, p)] = len(gi)
+                                gi.append(int(i))
+                                gj.append(p)
+                            if o <= 0:
+                                continue
+                            nxt.append((p - o, o // 2))
+                            nxt.append((p + o, o // 2))
+                        states = nxt
+                probe_pts = orders.gather(gi, gj)
+                ids_b = da.identities(
+                    [(int(pivot_rows[a]), int(q))
+                     for a, q in zip(gi, probe_pts)])
+                for i in live_idx:
+                    for _ in range(depth):
+                        if done[i]:
+                            break
+                        algn = float(ids_b[slot[(int(i),
+                                                 int(pivot_pos[i]))]])
+                        if algn < self.cutoff:
+                            pivot_pos[i] -= offsets[i]
+                        elif algn > self.cutoff:
+                            pivot_pos[i] += offsets[i]
+                        else:
+                            done[i] = True
+                            continue
+                        offsets[i] //= 2
+                        if offsets[i] <= 0:
+                            done[i] = True
         while not done.all():
             live = [i for i in range(len(pivots)) if not done[i]]
             probe_pts = orders.gather(live, [int(pivot_pos[i]) for i in live])
@@ -414,6 +439,8 @@ class Trainer:
             avg = 0.5 * (pa + pb)
             extras["js"] = ((pa * np.log(pa / avg)
                              + pb * np.log(pb / avg)).sum(axis=1)) / 2.0
+        if F.FEAT_RREE_K_R in flags:
+            extras["rree"] = F.rree_k_r_pairs(ha, hb)
         out = {}
         for flag in flags:
             out[flag] = F.raw_from_sums(flag, extras=extras,

@@ -26,6 +26,36 @@ _lib: Optional[ctypes.CDLL] = None
 _failed = False
 
 
+def _needs_rebuild(so_path: str, src_path: str) -> bool:
+    """Rebuild decision keyed on a hash of the SOURCE, not mtimes.
+
+    mtimes after a fresh clone are arbitrary, which previously let a stale
+    (or shipped) binary be loaded instead of one built with the LOCAL
+    toolchain — defeating refsort's whole purpose (bit-parity with the local
+    libstdc++ std::sort) and leaving an unauditable binary in play. The
+    source hash is recorded in a sidecar `<so>.srchash`; binaries are never
+    committed (gitignored), so every machine compiles its own."""
+    import hashlib
+    if not os.path.exists(so_path):
+        return True
+    sidecar = so_path + ".srchash"
+    try:
+        with open(src_path, "rb") as f:
+            h = hashlib.sha256(f.read()).hexdigest()
+        with open(sidecar) as f:
+            return f.read().strip() != h
+    except OSError:
+        return True
+
+
+def _record_srchash(so_path: str, src_path: str) -> None:
+    import hashlib
+    with open(src_path, "rb") as f:
+        h = hashlib.sha256(f.read()).hexdigest()
+    with open(so_path + ".srchash", "w") as f:
+        f.write(h)
+
+
 class _McParseResult(ctypes.Structure):
     _fields_ = [
         ("codes", ctypes.POINTER(ctypes.c_uint8)),
@@ -56,14 +86,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _failed:
             return _lib
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            if _needs_rebuild(_SO, _SRC):
                 tmp = _SO + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
                      "-o", tmp, _SRC, "-lpthread"],
                     check=True, capture_output=True, timeout=120)
                 os.replace(tmp, _SO)
+                _record_srchash(_SO, _SRC)
             lib = ctypes.CDLL(_SO)
             lib.mc_parse_fasta.restype = ctypes.POINTER(_McParseResult)
             lib.mc_parse_fasta.argtypes = [ctypes.c_char_p, ctypes.c_int]
@@ -127,14 +157,14 @@ def get_refsort() -> Optional[ctypes.CDLL]:
         if _rs_lib is not None or _rs_failed:
             return _rs_lib
         try:
-            if (not os.path.exists(_RS_SO)
-                    or os.path.getmtime(_RS_SO) < os.path.getmtime(_RS_SRC)):
+            if _needs_rebuild(_RS_SO, _RS_SRC):
                 tmp = _RS_SO + f".tmp{os.getpid()}"
                 subprocess.run(
                     ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
                      "-o", tmp, _RS_SRC],
                     check=True, capture_output=True, timeout=120)
                 os.replace(tmp, _RS_SO)
+                _record_srchash(_RS_SO, _RS_SRC)
             lib = ctypes.CDLL(_RS_SO)
             i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
             i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
@@ -158,6 +188,57 @@ def ref_sort_perm(idx: np.ndarray, keys: np.ndarray) -> bool:
     k = np.ascontiguousarray(keys, np.int64)
     lib.mc_sort_perm(idx, k, idx.shape[0])
     return True
+
+
+# ---------------------------------------------------------------------------
+# bvec bulk insertion (see bvec_insert.cpp)
+# ---------------------------------------------------------------------------
+_BV_SRC = os.path.join(_DIR, "bvec_insert.cpp")
+_BV_SO = os.path.join(_DIR, "_bvec_insert.so")
+_bv_lib: Optional[ctypes.CDLL] = None
+_bv_failed = False
+
+
+def get_bvec_insert() -> Optional[ctypes.CDLL]:
+    global _bv_lib, _bv_failed
+    if _bv_lib is not None or _bv_failed or not enabled():
+        return _bv_lib
+    with _lock:
+        if _bv_lib is not None or _bv_failed:
+            return _bv_lib
+        try:
+            if _needs_rebuild(_BV_SO, _BV_SRC):
+                tmp = _BV_SO + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, _BV_SRC],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _BV_SO)
+                _record_srchash(_BV_SO, _BV_SRC)
+            lib = ctypes.CDLL(_BV_SO)
+            i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            lib.mc_bvec_targets.restype = None
+            lib.mc_bvec_targets.argtypes = [i64p, ctypes.c_int64, i64p,
+                                            ctypes.c_int64, i32p]
+            _bv_lib = lib
+        except Exception:
+            _bv_failed = True
+    return _bv_lib
+
+
+def bvec_targets(lengths: np.ndarray, bounds: np.ndarray
+                 ) -> Optional[np.ndarray]:
+    """Target bin per point for the sequential least-filled insert rule;
+    None if the native path is unavailable (caller falls back to Python)."""
+    lib = get_bvec_insert()
+    if lib is None:
+        return None
+    ln = np.ascontiguousarray(lengths, np.int64)
+    bb = np.ascontiguousarray(bounds, np.int64)
+    out = np.empty(ln.shape[0], np.int32)
+    lib.mc_bvec_targets(ln, ln.shape[0], bb, bb.shape[0], out)
+    return out
 
 
 def ref_sort_perm_batch(idx: np.ndarray, keys: np.ndarray) -> bool:

@@ -176,6 +176,48 @@ def raw_from_sums(flag: int, man, dot, mag_a, mag_b, sq_a, sq_b, len_a,
     raise ValueError(f"bad feature flag {flag}")
 
 
+def _fastlog2(x: np.ndarray) -> np.ndarray:
+    """The reference's bit-trick approximate log2 (Feature.cpp:399-411),
+    replicated in float32: reinterpret the float bits as an int, rescale the
+    exponent, and correct with the published rational fit. Vectorized."""
+    xf = np.asarray(x, np.float32)
+    vx = xf.view(np.uint32)
+    mx = ((vx & np.uint32(0x007FFFFF)) | np.uint32(0x7E << 23)).view(
+        np.float32)
+    # C: float y = vx.i; y *= 1.0 / (1 << 23);  (double multiply, f32 store)
+    y = (vx.astype(np.float64) * (1.0 / (1 << 23))).astype(np.float32)
+    return (y - np.float32(124.22544637) - np.float32(1.498030302) * mx
+            - np.float32(1.72587999) / (np.float32(0.3520887068) + mx))
+
+
+def rree_k_r_pairs(hist_a: np.ndarray, hist_b: np.ndarray) -> np.ndarray:
+    """RREE_K_R statistic (Feature.cpp:447-475): the histogram's 4^k lanes
+    are grouped in consecutive quartets (the 4 possible last bases of a
+    shared (k-1)-mer prefix); each quartet is normalized to a conditional
+    distribution and scored with a Jensen-Shannon-style divergence using the
+    reference's fastlog4; the result is 0.5 * (sum_p + sum_q) over quartets.
+
+    hist_a and hist_b broadcast over leading axes; last axis is V (=4^k).
+    Float64 accumulation with the float32 fastlog4, like the reference's
+    `double ip += cp * (double)fastlog4(...)`.
+    """
+    a = np.asarray(hist_a, np.float64)
+    b = np.asarray(hist_b, np.float64)
+    A4 = a.reshape(a.shape[:-1] + (-1, 4))
+    B4 = b.reshape(b.shape[:-1] + (-1, 4))
+    cp = A4 / A4.sum(axis=-1, keepdims=True)   # psum >= 4 (pseudocounts)
+    cq = B4 / B4.sum(axis=-1, keepdims=True)
+    cp, cq = np.broadcast_arrays(cp, cq)
+    avg = 0.5 * (cp + cq)
+    lp = (_fastlog2((cp / avg).astype(np.float32))
+          / np.float32(2.0)).astype(np.float64)
+    lq = (_fastlog2((cq / avg).astype(np.float32))
+          / np.float32(2.0)).astype(np.float64)
+    op = (cp * lp).sum(axis=(-2, -1))
+    oq = (cq * lq).sum(axis=(-2, -1))
+    return 0.5 * (op + oq)
+
+
 def js_table(size: int = 10_000_000) -> np.ndarray:
     """The Trainer's log table: tbl[i] = log(2i) - log(size), tbl[0] = 0
     (Trainer.h:17-24). Used by the table-approximate Jensen-Shannon."""

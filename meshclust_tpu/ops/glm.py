@@ -21,17 +21,29 @@ _FMA = None
 def _fma():
     """libm fma via ctypes (Python 3.12 lacks math.fma): gcc contracts the
     reference's `curSum + a*b` into FMA at -O3 (-ffp-contract=fast), so
-    bit-exact weight replication needs the same single-rounding product."""
+    bit-exact weight replication needs the same single-rounding product.
+
+    Returns None when libm/fma can't be resolved (non-glibc platforms where
+    find_library('m') returns None, or CDLL(None) lacks the symbol) —
+    callers then degrade to the fma=False reference path instead of
+    crashing the default MESHCLUST_GLM_REF training path."""
     global _FMA
     if _FMA is None:
         import ctypes
         import ctypes.util
-        lib = ctypes.CDLL(ctypes.util.find_library("m"))
-        lib.fma.restype = ctypes.c_double
-        lib.fma.argtypes = [ctypes.c_double, ctypes.c_double,
-                            ctypes.c_double]
-        _FMA = lib.fma
-    return _FMA
+        try:
+            lib = ctypes.CDLL(ctypes.util.find_library("m"))
+            fn = lib.fma
+            fn.restype = ctypes.c_double
+            fn.argtypes = [ctypes.c_double, ctypes.c_double,
+                           ctypes.c_double]
+            # smoke-test the symbol actually computes fma
+            if fn(2.0, 3.0, 1.0) != 7.0:
+                raise OSError("fma symbol returned wrong value")
+            _FMA = fn
+        except (OSError, AttributeError, TypeError):
+            _FMA = False
+    return _FMA or None
 
 
 def _matmul_ref(a: np.ndarray, b: np.ndarray, fma: bool) -> np.ndarray:
@@ -129,6 +141,8 @@ def train(features: np.ndarray, labels: np.ndarray) -> np.ndarray:
         except np.linalg.LinAlgError:
             return np.linalg.lstsq(X, y.reshape(-1), rcond=None)[0]
     fma = os.environ.get("MESHCLUST_GLM_FMA", "1") == "1"
+    if fma and _fma() is None:
+        fma = False          # no usable libm fma: uncontracted ref path
     Xt = X.T.copy()
     try:
         A = _matmul_ref(Xt, X, fma)

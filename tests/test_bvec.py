@@ -74,3 +74,46 @@ def test_multi_bin_structure():
     # bins sorted by length internally
     for b in range(len(bv.idx)):
         assert list(bv.lens[b]) == sorted(bv.lens[b])
+
+
+def _oracle_bvec(lengths, bin_size):
+    bv = BVec(np.asarray(lengths), bin_size)
+    for i, ln in enumerate(lengths):
+        bv.insert(i, int(ln))
+    bv.insert_finalize()
+    return bv
+
+
+def _bulk_bvec(lengths, bin_size):
+    bv = BVec(np.asarray(lengths), bin_size)
+    bv.bulk_insert(np.asarray(lengths))
+    bv.insert_finalize()
+    return bv
+
+
+def test_bulk_insert_matches_per_insert_oracle():
+    rng = np.random.default_rng(7)
+    cases = [
+        rng.integers(100, 2000, size=500),          # varied lengths
+        np.full(500, 777),                          # all identical (max ties)
+        np.repeat(rng.integers(100, 300, size=10), 50),  # heavy duplication
+        rng.integers(100, 110, size=333),           # narrow range
+    ]
+    for lengths in cases:
+        for bin_size in (50, 100, 1000):
+            a = _oracle_bvec(lengths, bin_size)
+            b = _bulk_bvec(lengths, bin_size)
+            assert len(a.idx) == len(b.idx)
+            for x, y in zip(a.idx, b.idx):
+                assert np.array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_bulk_insert_python_fallback_matches(monkeypatch):
+    from meshclust_tpu import native
+    monkeypatch.setattr(native, "bvec_targets", lambda *a: None)
+    rng = np.random.default_rng(11)
+    lengths = np.repeat(rng.integers(100, 200, size=7), 40)
+    a = _oracle_bvec(lengths, 60)
+    b = _bulk_bvec(lengths, 60)
+    for x, y in zip(a.idx, b.idx):
+        assert np.array_equal(np.asarray(x), np.asarray(y))

@@ -120,3 +120,53 @@ def test_glm_roundtrip(rng):
     preds = np.where(glm.predict(X, w) == 1, 1, -1)
     acc, sens, spec = glm.accuracy(y, preds)
     assert acc > 95.0
+
+
+def _rree_scalar_oracle(p, q):
+    """Direct transcription of Feature::rree_k_r (Feature.cpp:447-475),
+    scalar loops + the fastlog4 bit trick, as the parity oracle."""
+    import struct
+
+    def fastlog2(x):
+        (i,) = struct.unpack("<I", struct.pack("<f", np.float32(x)))
+        (mx,) = struct.unpack("<f", struct.pack(
+            "<I", (i & 0x007FFFFF) | (0x7E << 23)))
+        y = np.float32(float(np.float32(i)) * (1.0 / (1 << 23)))
+        return np.float32(
+            y - np.float32(124.22544637) - np.float32(1.498030302)
+            * np.float32(mx) - np.float32(1.72587999)
+            / (np.float32(0.3520887068) + np.float32(mx)))
+
+    N = len(p)
+    op = oq = 0.0
+    for off in range(0, N, 4):
+        psum = int(sum(p[off:off + 4]))
+        qsum = int(sum(q[off:off + 4]))
+        ip = iq = 0.0
+        for j in range(4):
+            cp = float(p[off + j]) / psum
+            cq = float(q[off + j]) / qsum
+            avg = 0.5 * (cp + cq)
+            ip += cp * float(fastlog2(np.float32(cp / avg)) / np.float32(2))
+            iq += cq * float(fastlog2(np.float32(cq / avg)) / np.float32(2))
+        op += ip
+        oq += iq
+    return 0.5 * (op + oq)
+
+
+def test_rree_k_r_matches_scalar_oracle(rng):
+    V = 64
+    h = _hists(rng, 5, V)
+    got = F.rree_k_r_pairs(h[:, None, :], h[None, :, :])
+    for i in range(5):
+        for j in range(5):
+            want = _rree_scalar_oracle(h[i], h[j])
+            assert got[i, j] == pytest.approx(want, rel=1e-12, abs=1e-12)
+    # identical distributions diverge by ~0 (fastlog4(1) != 0 exactly,
+    # but the approximation error is the same lane-wise)
+    assert abs(got[0, 0]) < 1e-2
+    # wired into raw_from_sums via extras
+    r = F.raw_from_sums(F.FEAT_RREE_K_R, man=0, dot=0, mag_a=0, mag_b=0,
+                        sq_a=0, sq_b=0, len_a=0, len_b=0, V=V,
+                        extras={"rree": got})
+    assert np.array_equal(r, got)
