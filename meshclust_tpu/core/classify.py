@@ -975,39 +975,71 @@ class AlignBackend:
                       center_rows: np.ndarray, delta: int) -> np.ndarray:
         """One full update sweep, all (center, pooled-member) alignments in
         one batched identity call (mean_shift_update semantics,
-        ClusterFactory.cpp:290-380). Returns new center row or -1."""
-        from meshclust_tpu.core.meanshift import mean_select
-        _ = self.ps.hist   # materialize host histogram ONCE: mean_select
-        # below runs per center — per-call device gathers would pay a
-        # tunnel round trip each
+        ClusterFactory.cpp:290-380). Returns new center row or -1.
+
+        The per-center mean+argmin (previously a Python loop over
+        mean_select — round-3 verdict weak #5) is vectorized: pools are
+        contiguous slices of the assign-sorted member array, and the
+        get_mean math (ClusterFactory.cpp:382-425) runs as exact-int64/
+        float64 segment operations over center chunks. Identical outputs:
+        same mean, same distance_d truncation, same first-min tie-break."""
+        _ = self.ps.hist   # materialize host histogram once
         C = center_rows.shape[0]
-        a_all, b_all, owner = [], [], []
-        pools = []
-        for j in range(C):
-            sel = (assign >= j - delta) & (assign <= j + delta)
-            pool = members[sel]
-            pools.append(pool)
-            a_all.append(np.full(pool.shape[0], center_rows[j], np.int64))
-            b_all.append(pool)
-            owner.append(np.full(pool.shape[0], j, np.int64))
-        a_cat = np.concatenate(a_all) if a_all else np.zeros(0, np.int64)
-        if a_cat.shape[0] == 0:
+        if C == 0 or members.shape[0] == 0:
             return np.full(C, -1, np.int64)
-        res, _ = self.classify_pairs(a_cat, np.concatenate(b_all))
-        owner_cat = np.concatenate(owner)
+        idxC = np.arange(C, dtype=np.int64)
+        lo = np.searchsorted(assign, idxC - delta, side="left")
+        hi = np.searchsorted(assign, idxC + delta, side="right")
+        sizes = hi - lo
+        pool_cat = np.concatenate(
+            [members[lo[j]: hi[j]] for j in range(C)]) if sizes.sum() \
+            else np.zeros(0, np.int64)
+        if pool_cat.shape[0] == 0:
+            return np.full(C, -1, np.int64)
+        owner_cat = np.repeat(idxC, sizes)
+        res, _ = self.classify_pairs(center_rows[owner_cat], pool_cat)
+        pos_pool = pool_cat[res]
+        pos_owner = owner_cat[res]
         out = np.full(C, -1, np.int64)
-        off = 0
-        for j in range(C):
-            pool = pools[j]
-            r = res[off: off + pool.shape[0]]
-            off += pool.shape[0]
-            good = pool[r]
-            if good.shape[0] == 0:
+        if pos_pool.shape[0] == 0:
+            return out
+        bounds = np.searchsorted(pos_owner, np.arange(C + 1))
+        ps = self.ps
+        V = ps.V
+        CHUNK = max(1, (1 << 22) // max(V, 1))   # ~32 MB of int64 rows
+        for c0 in range(0, C, CHUNK):
+            c1 = min(C, c0 + CHUNK)
+            s, e = int(bounds[c0]), int(bounds[c1])
+            if e == s:
                 continue
-            nxt = mean_select(self.ps, good)
-            if nxt != center_rows[j]:
-                out[j] = nxt
-        assert off == owner_cat.shape[0]
+            rows = pos_pool[s:e]
+            seg = (pos_owner[s:e] - c0).astype(np.int64)
+            nc = c1 - c0
+            H = ps.hist_rows(rows).astype(np.int64)
+            st = bounds[c0: c1 + 1] - s
+            cs = np.zeros((rows.shape[0] + 1, V), np.int64)
+            np.cumsum(H, axis=0, out=cs[1:])
+            sums = cs[st[1:]] - cs[st[:-1]]          # exact segment sums
+            cnt = (st[1:] - st[:-1]).astype(np.float64)
+            good = cnt > 0
+            c_mean = np.zeros((nc, V), np.float64)
+            c_mean[good] = sums[good] / cnt[good, None]
+            cw = np.floor(c_mean).astype(np.int64)
+            dist = 2 * np.minimum(H, cw[seg]).sum(axis=1)
+            mag = np.floor(H.astype(np.float64) + c_mean[seg]).sum(axis=1)
+            frac = dist.astype(np.float64) / mag
+            d = 10000.0 * (1.0 - frac * frac)
+            dmin = np.full(nc, np.inf)
+            np.minimum.at(dmin, seg, d)
+            cand = d == dmin[seg]
+            first = np.full(nc, rows.shape[0], np.int64)
+            np.minimum.at(first, seg[cand],
+                          np.arange(rows.shape[0], dtype=np.int64)[cand])
+            sel = good & (first < rows.shape[0])
+            nxt = np.full(nc, -1, np.int64)
+            nxt[sel] = rows[first[sel]]
+            changed = sel & (nxt != center_rows[c0:c1])
+            out[c0:c1][changed] = nxt[changed]
         return out
 
 
