@@ -107,7 +107,15 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
         return cached
 
     def fn(hist_s, mag_s, sq_s, len_s, bin_of, bin_start, bin_end,
-           begin_bounds, mins, maxs, is_sim, weights):
+           begin_bounds, mins, maxs, is_sim, weights,
+           active, owner, stamp, t0, seed0, c0, center_slot, done0,
+           c_limit):
+        """One bounded dispatch: continue the accumulation from the given
+        state until done OR c reaches c_limit. Bounding the per-dispatch
+        center count keeps single-program runtime under any TPU runtime
+        watchdog (an unbounded 1M-point program ran for minutes in one
+        dispatch and crashed the worker) and lets the host report
+        progress between chunks. State arrays are donated."""
         i32 = jnp.int32
         len_i = len_s.astype(i32)
         t_ar = jnp.arange(T, dtype=i32)
@@ -338,22 +346,12 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                     center_slot, done)
 
         def outer_cond(state):
-            return ~state[7]
+            return ~state[7] & (state[5] < c_limit)
 
-        active0 = jnp.ones(N, bool)
-        owner0 = jnp.full(N, -1, i32)
-        stamp0 = jnp.zeros(N, i32)
-        center_slot0 = jnp.full(Cmax, -1, i32)
-        # pop() the very first seed
-        seed0 = i32(0)
-        active0 = active0.at[0].set(False)
-        state = (active0, owner0, stamp0, jnp.int32(0), seed0, i32(0),
-                 center_slot0, jnp.bool_(False))
-        state = jax.lax.while_loop(outer_cond, outer_body, state)
-        (active, owner, stamp, t, _, c, center_slot, _) = state
-        return owner, stamp, center_slot, c
+        state = (active, owner, stamp, t0, seed0, c0, center_slot, done0)
+        return jax.lax.while_loop(outer_cond, outer_body, state)
 
-    jitted = jax.jit(fn)
+    jitted = jax.jit(fn, donate_argnums=(12, 13, 14, 18))
     _BUILD_CACHE[key] = jitted
     return jitted
 
@@ -404,17 +402,40 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
                           params.singles,
                           [(c, list(ix)) for c, ix in params.combos],
                           use_ds=use_ds)
-    owner, stamp, center_slot, n_centers = fn(
-        hist_s, mag_s, sq_s, len_s,
-        jnp.asarray(bin_of), jnp.asarray(bin_start), jnp.asarray(bin_end),
-        jnp.asarray(begin_bounds),
-        mins_a, maxs_a,
-        jnp.asarray(params.is_sim),
-        weights_a)
+    # Chunked dispatch: K centers per device call (watchdog-safe at any N);
+    # state arrays stay device-resident and are donated between calls.
+    import os
+    K = max(1, int(os.environ.get("MESHCLUST_ACCUM_CHUNK", "512")))
+    active = jnp.ones(N, bool).at[0].set(False)   # pop() the first seed
+    owner = jnp.full(N, -1, jnp.int32)
+    stamp = jnp.zeros(N, jnp.int32)
+    center_slot = jnp.full(Cmax, -1, jnp.int32)
+    t = jnp.int32(0)
+    seed = jnp.int32(0)
+    c = jnp.int32(0)
+    done = jnp.bool_(False)
+    consts = (hist_s, mag_s, sq_s, len_s,
+              jnp.asarray(bin_of), jnp.asarray(bin_start),
+              jnp.asarray(bin_end), jnp.asarray(begin_bounds),
+              mins_a, maxs_a, jnp.asarray(params.is_sim), weights_a)
+    from meshclust_tpu.utils.progress import Progress
+    prog = Progress(N + 1, "Accumulation")
+    n_done_prev = 0
+    while True:
+        limit = jnp.int32(min(int(c) + K, Cmax))
+        (active, owner, stamp, t, seed, c, center_slot, done) = fn(
+            *consts, active, owner, stamp, t, seed, c, center_slot, done,
+            limit)
+        if bool(done):
+            break
+        n_done = N - int(jnp.sum(active))
+        prog += n_done - n_done_prev
+        n_done_prev = n_done
+    prog.end()
     owner = np.asarray(owner)
     stamp = np.asarray(stamp)
     center_slot = np.asarray(center_slot)
-    n_centers = int(n_centers)
+    n_centers = int(c)
     # perf counters: total absorb iterations (stamps) + centers found
     from meshclust_tpu.utils import perf
     perf.add("accum_iters", float(stamp.max()) if N else 0.0)
@@ -422,14 +443,21 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     if n_centers > Cmax:
         raise RuntimeError("center capacity exceeded; raise cmax_hint")
 
-    centers: List[Center] = []
+    # group members by owner keeping (stamp, slot) insertion order —
+    # vectorized (a Python loop over N slots costs seconds at 1M)
     order = np.lexsort((np.arange(N), stamp))   # (stamp, slot) order
-    members_by_owner: List[List[int]] = [[] for _ in range(n_centers)]
-    for s in order:
-        o = owner[s]
-        if 0 <= o < n_centers:
-            members_by_owner[o].append(int(slots_point[s]))
+    ow = owner[order]
+    pts = slots_point[order]
+    sel = (ow >= 0) & (ow < n_centers)
+    ow = ow[sel]
+    pts = pts[sel]
+    grp = np.argsort(ow, kind="stable")         # per-owner, order preserved
+    ow_s = ow[grp]
+    pts_s = pts[grp]
+    bounds = np.searchsorted(ow_s, np.arange(n_centers + 1))
+    centers: List[Center] = []
     for c in range(n_centers):
-        centers.append(Center(int(slots_point[center_slot[c]]),
-                              members_by_owner[c]))
+        centers.append(Center(
+            int(slots_point[center_slot[c]]),
+            pts_s[bounds[c]: bounds[c + 1]].tolist()))
     return centers

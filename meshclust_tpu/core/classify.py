@@ -610,39 +610,52 @@ class DeviceBackend:
                 m_idx_g = jax.lax.all_gather(m_idx, "data", tiled=True)
             pool_pos = goff.astype(jnp.float32) + jnp.arange(
                 M, dtype=jnp.float32)
-            h_m = hist[m_idx].astype(jnp.float32)   # member rows, once
+            h_m8 = hist[m_idx]                      # member rows, storage dt
             mag_m = mag[m_idx]
             sq_m = sq[m_idx]
             len_m = lens[m_idx]
+            n_off = 2 * delta + 1
 
             def one_iter(carry, _):
                 assign, c_idx, c_valid = carry
                 # --- mean_shift_update (parallel snapshot semantics,
                 #     ClusterFactory.cpp:290-380): banded classify + mean +
-                #     member argmin of distance_d ----------------------------
-                pos_list = []
-                sums = jnp.zeros((Cp, V), jnp.float32)
-                counts = jnp.zeros((Cp,), jnp.float32)
-                for o in range(-delta, delta + 1):
+                #     member argmin of distance_d.
+                # The delta-offset loops run as lax.fori_loop so the [M, V]
+                # temporaries (center-row gathers, masked segment sums) are
+                # SEQUENTIAL: the unrolled Python loop kept ~2*delta+1 of
+                # them live at once and OOMed at 1M members x 256 lanes.
+                # NOTE: no indices_are_sorted hint on the segment ops —
+                # after the merge+compaction step below, assign =
+                # newpos[T[assign]] can become non-monotone whenever a
+                # center merges past a surviving neighbor, and a false
+                # sortedness promise makes XLA's sorted-scatter lowering
+                # implementation-defined.
+
+                def cls_body(oi, st):
+                    sums, counts, pos_all = st
+                    o = oi - delta
                     j = assign + o
                     ok_o = (j >= 0) & (j < Cp) & m_valid
                     jc = jnp.clip(j, 0, Cp - 1)
+                    h_m = h_m8.astype(jnp.float32)
                     pos = classify_rows(
                         h_m, hist[c_idx[jc]].astype(jnp.float32),
                         mag_m, mag[c_idx[jc]],
                         sq_m, sq[c_idx[jc]], len_m, lens[c_idx[jc]],
                         mins, maxs, is_sim, weights) & ok_o & c_valid[jc]
-                    pos_list.append(pos)
                     w = pos.astype(jnp.float32)
-                    # NOTE: no indices_are_sorted hint here — after the
-                    # merge+compaction step below, assign = newpos[T[assign]]
-                    # can become non-monotone whenever a center merges past a
-                    # surviving neighbor, and a false sortedness promise makes
-                    # XLA's sorted-scatter lowering implementation-defined.
                     sums = sums + jax.ops.segment_sum(
                         h_m * w[:, None], jc, num_segments=Cp)
                     counts = counts + jax.ops.segment_sum(
                         w, jc, num_segments=Cp)
+                    return sums, counts, pos_all.at[oi].set(pos)
+
+                sums, counts, pos_all = jax.lax.fori_loop(
+                    0, n_off, cls_body,
+                    (jnp.zeros((Cp, V), jnp.float32),
+                     jnp.zeros((Cp,), jnp.float32),
+                     jnp.zeros((n_off, M), bool)))
                 if mesh is not None:
                     sums = jax.lax.psum(sums, "data")
                     counts = jax.lax.psum(counts, "data")
@@ -654,10 +667,12 @@ class DeviceBackend:
                     mean2 = DSC.mean_pair(sums, counts)
                 else:
                     mean_f32 = sums / jnp.maximum(counts, 1.0)[:, None]
-                d_per_o = []
-                best_dh = jnp.full((Cp,), INF)
-                for oi, o in enumerate(range(-delta, delta + 1)):
+
+                def dist_body(oi, st):
+                    d_hi, d_lo, best_dh = st
+                    o = oi - delta
                     jc = jnp.clip(assign + o, 0, Cp - 1)
+                    h_m = h_m8.astype(jnp.float32)
                     if use_ds:
                         dh, dl = DSC.distance_d_mean(
                             h_m, (mean2[0][jc], mean2[1][jc]))
@@ -669,34 +684,46 @@ class DeviceBackend:
                         frac = dist / jnp.maximum(mg, 1.0)
                         dh = 10000.0 * (1.0 - frac * frac)
                         dl = jnp.zeros_like(dh)
-                    dh = jnp.where(pos_list[oi], dh, INF)
-                    dl = jnp.where(pos_list[oi], dl, INF)
-                    d_per_o.append((dh, dl))
+                    dh = jnp.where(pos_all[oi], dh, INF)
+                    dl = jnp.where(pos_all[oi], dl, INF)
                     best_dh = jnp.minimum(
                         best_dh, jax.ops.segment_min(
                             dh, jc, num_segments=Cp))
+                    return d_hi.at[oi].set(dh), d_lo.at[oi].set(dl), best_dh
+
+                d_hi, d_lo, best_dh = jax.lax.fori_loop(
+                    0, n_off, dist_body,
+                    (jnp.zeros((n_off, M), jnp.float32),
+                     jnp.zeros((n_off, M), jnp.float32),
+                     jnp.full((Cp,), INF)))
                 if mesh is not None:
                     best_dh = jax.lax.pmin(best_dh, "data")
-                best_dl = jnp.full((Cp,), INF)
-                for oi, o in enumerate(range(-delta, delta + 1)):
+
+                def dl_body(oi, best_dl):
+                    o = oi - delta
                     jc = jnp.clip(assign + o, 0, Cp - 1)
-                    dh, dl = d_per_o[oi]
-                    lm = jnp.where(dh == best_dh[jc], dl, INF)
-                    best_dl = jnp.minimum(
+                    lm = jnp.where(d_hi[oi] == best_dh[jc], d_lo[oi], INF)
+                    return jnp.minimum(
                         best_dl, jax.ops.segment_min(
                             lm, jc, num_segments=Cp))
+
+                best_dl = jax.lax.fori_loop(
+                    0, n_off, dl_body, jnp.full((Cp,), INF))
                 if mesh is not None:
                     best_dl = jax.lax.pmin(best_dl, "data")
-                best_pos = jnp.full((Cp,), jnp.float32(Mtot))
-                for oi, o in enumerate(range(-delta, delta + 1)):
+
+                def pos_body(oi, best_pos):
+                    o = oi - delta
                     jc = jnp.clip(assign + o, 0, Cp - 1)
-                    dh, dl = d_per_o[oi]
-                    tie = ((dh == best_dh[jc]) & (dl == best_dl[jc])
-                           & pos_list[oi])
+                    tie = ((d_hi[oi] == best_dh[jc])
+                           & (d_lo[oi] == best_dl[jc]) & pos_all[oi])
                     p = jnp.where(tie, pool_pos, jnp.float32(Mtot))
-                    best_pos = jnp.minimum(
+                    return jnp.minimum(
                         best_pos, jax.ops.segment_min(
                             p, jc, num_segments=Cp))
+
+                best_pos = jax.lax.fori_loop(
+                    0, n_off, pos_body, jnp.full((Cp,), jnp.float32(Mtot)))
                 if mesh is not None:
                     best_pos = jax.lax.pmin(best_pos, "data")
                 best_pos = best_pos.astype(jnp.int32)

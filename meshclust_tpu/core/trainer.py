@@ -248,6 +248,7 @@ class Trainer:
             # 128-lane grid kernel mostly idle) become ~log2(N)/DEPTH
             # dispatches of full blocks.
             import os as _os
+            from meshclust_tpu.utils import perf as _perf
             da = self._probe_aligner()
             pivot_rows = np.asarray(pivots, np.int64)
             depth = max(1, int(_os.environ.get("MESHCLUST_PROBE_DEPTH",
@@ -271,7 +272,8 @@ class Trainer:
                             nxt.append((p - o, o // 2))
                             nxt.append((p + o, o // 2))
                         states = nxt
-                probe_pts = orders.gather(gi, gj)
+                with _perf.phase("probe_gather"):
+                    probe_pts = orders.gather(gi, gj)
                 ids_b = da.identities(
                     [(int(pivot_rows[a]), int(q))
                      for a, q in zip(gi, probe_pts)])

@@ -192,7 +192,12 @@ class DeviceAligner:
         self.lengths = np.asarray([len(c) for c in codes], np.int64)
         self.match, self.mismatch, self.go, self.gc = match, mismatch, go, gc
         if stage_mb is None:
-            stage_mb = int(os.environ.get("MESHCLUST_ALIGN_STAGE_MB", "512"))
+            # v5e has 16 GB HBM; a 1M x ~1.2kb corpus stages in ~1.2 GB and
+            # staging is what keeps identities() off the host-packed path
+            # (~150x slower per pair at 1M scale: Python operand packing +
+            # full-operand tunnel shipping per batch)
+            stage_mb = int(os.environ.get("MESHCLUST_ALIGN_STAGE_MB",
+                                          "6144"))
         self.stage_mb = stage_mb
         self._staged = None     # (codes_dev [N, Lpad] int8, Lpad)
 
@@ -209,10 +214,32 @@ class DeviceAligner:
         if self._staged is None:
             lmax = int(self.lengths.max()) if len(self.codes) else 8
             lpad = _round_up(max(lmax, 8), 128)
-            mat = np.zeros((len(self.codes), lpad), np.int8)
+            N = len(self.codes)
+            mat = np.zeros((N, lpad), np.uint8)
             for i, c in enumerate(self.codes):
                 mat[i, : len(c)] = c
-            self._staged = (jax.device_put(mat), lpad)
+            # Ship 2-bit-packed bases + a 1-bit 'N' mask (78 marker) and
+            # unpack on device: 2.75 bits/base instead of 8 — the staging
+            # H2D through the tunnel was ~15 s at 1M x 1.2kb.
+            v = (mat & 3).reshape(N, lpad // 4, 4)
+            p2 = (v[:, :, 0] | (v[:, :, 1] << 2) | (v[:, :, 2] << 4)
+                  | (v[:, :, 3] << 6)).astype(np.uint8)
+            nm = np.packbits(mat == 78, axis=1)
+
+            @jax.jit
+            def unpack(p2d, nmd):
+                x = p2d.astype(jnp.int32)
+                parts = jnp.stack(
+                    [(x >> (2 * i)) & 3 for i in range(4)], axis=-1
+                ).reshape(x.shape[0], x.shape[1] * 4)
+                b = nmd.astype(jnp.int32)
+                bits = jnp.stack(
+                    [(b >> (7 - i)) & 1 for i in range(8)], axis=-1
+                ).reshape(b.shape[0], b.shape[1] * 8)
+                return jnp.where(bits == 1, 78, parts).astype(jnp.int8)
+
+            self._staged = (unpack(jax.device_put(p2),
+                                   jax.device_put(nm)), lpad)
         return self._staged
 
     def _can_stage(self) -> bool:

@@ -224,6 +224,26 @@ def featurize_batch_simple(codes, lengths, k: int, init: int = 1,
     return featurize_batch_device(codes, valid, inseg, k, init, impl)
 
 
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """Host-side 2-bit packing of digit codes [B, L] (L % 4 == 0, values
+    0..3) -> [B, L//4] uint8. Quarters the host->device transfer — the
+    tunnel H2D was the dominant featurization cost at 1M sequences."""
+    B, L = codes.shape
+    v = codes.reshape(B, L // 4, 4)
+    return (v[:, :, 0] | (v[:, :, 1] << 2) | (v[:, :, 2] << 4)
+            | (v[:, :, 3] << 6)).astype(np.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "init", "impl"))
+def featurize_batch_packed(packed, lengths, k: int, init: int = 1,
+                           impl: str = "xla_matmul"):
+    """featurize_batch_simple on 2-bit-packed codes (device-side unpack)."""
+    p = packed.astype(jnp.int32)
+    parts = jnp.stack([(p >> (2 * i)) & 3 for i in range(4)], axis=-1)
+    codes = parts.reshape(p.shape[0], p.shape[1] * 4).astype(jnp.uint8)
+    return featurize_batch_simple(codes, lengths, k, init, impl)
+
+
 # ---------------------------------------------------------------------------
 # Host-side batch preparation
 # ---------------------------------------------------------------------------
@@ -332,8 +352,8 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
     for bucket in length_buckets(lengths):
         Lp = round_up(max(max(lengths[i] for i in bucket), LANE), LANE)
         # row chunk bounded by a ~1 GiB one-hot budget, fixed sizes for
-        # compile reuse
-        max_rows = max(256, min(4096, (1 << 30) // max(1, Lp * lane_bytes)))
+        # compile reuse (8192-row cap halves tunnel round trips vs 4096)
+        max_rows = max(256, min(8192, (1 << 30) // max(1, Lp * lane_bytes)))
         max_rows = 1 << (max_rows.bit_length() - 1)
         for s0 in range(0, len(bucket), max_rows):
             chunk = bucket[s0: s0 + max_rows]
@@ -350,9 +370,10 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
                     for i, s in enumerate(sub):
                         codes[i, : s.length] = s.codes
                         lens_arr[i] = s.length
+                    packed = pack_2bit(codes)
                 with perf.phase("feat_device"):
-                    counts, ones, _ = featurize_batch_simple(
-                        _put(codes), _put(lens_arr), k, init, impl)
+                    counts, ones, _ = featurize_batch_packed(
+                        _put(packed), _put(lens_arr), k, init, impl)
             else:
                 with perf.phase("feat_pack"):
                     codes, valid, inseg = pad_batch(sub, k, pad_to=Lp)
