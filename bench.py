@@ -58,6 +58,90 @@ def make_dataset(n: int = N) -> str:
     return fasta
 
 
+def make_viral_dataset(n_species: int = 6, per: int = 500) -> str:
+    """Multi-virus mix for the low-identity align-mode config
+    (BASELINE config 4; reference quality rows Tables/Viral.csv:6-19):
+    unrelated ~1.2kb base genomes, clones mutated 12-22% so within-species
+    identity lands ~0.6-0.8 and cross-species ~0.45-0.5."""
+    fasta = f"/tmp/meshclust_bench_viral_{n_species}x{per}.fasta"
+    if os.path.exists(fasta):
+        return fasta
+    rng = np.random.default_rng(7)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(fasta + ".tmp", "wb") as f:
+        for s in range(n_species):
+            L = 1200 + int(rng.integers(-100, 100))
+            base = rng.integers(0, 4, size=L, dtype=np.int8)
+            for c in range(per):
+                rate = 0.12 + 0.10 * rng.random()
+                e = L - int(rng.integers(0, L // 20))
+                seq = base[:e].copy()
+                mut = rng.random(e) < rate
+                seq[mut] = (seq[mut] + 1 + rng.integers(
+                    0, 3, size=int(mut.sum()))) % 4
+                f.write(b">v%d_c%d\n" % (s, c))
+                f.write(letters[seq].tobytes() + b"\n")
+    os.replace(fasta + ".tmp", fasta)
+    return fasta
+
+
+def make_16s_dataset(n: int = 20000) -> str:
+    """16S-amplicon-style set (BASELINE config 3; reference rows
+    Tables/Real.csv:54-75): ~253bp reads, many species, --id 0.85."""
+    fasta = f"/tmp/meshclust_bench_16s_{n}.fasta"
+    if os.path.exists(fasta):
+        return fasta
+    rng = np.random.default_rng(16)
+    letters = np.frombuffer(b"ACGT", dtype=np.uint8)
+    species = max(10, n // 50)
+    per = n // species
+    with open(fasta + ".tmp", "wb") as f:
+        for s in range(species):
+            L = 253 + int(rng.integers(-10, 10))
+            base = rng.integers(0, 4, size=L, dtype=np.int8)
+            for c in range(per):
+                e = L - int(rng.integers(0, 6))
+                seq = base[:e].copy()
+                mut = rng.random(e) < 0.05
+                seq[mut] = (seq[mut] + 1 + rng.integers(
+                    0, 3, size=int(mut.sum()))) % 4
+                f.write(b">s%d_r%d\n" % (s, c))
+                f.write(letters[seq].tobytes() + b"\n")
+    os.replace(fasta + ".tmp", fasta)
+    return fasta
+
+
+def cluster_quality(clstr_path: str) -> dict:
+    """Purity + NMI of a CLSTR file against planted truth (header prefix
+    before the underscore is the true label)."""
+    import math as _m
+    from collections import Counter, defaultdict
+    clusters = defaultdict(list)
+    cur = None
+    import re
+    with open(clstr_path) as f:
+        for line in f:
+            if line.startswith(">Cluster"):
+                cur = int(line.split()[1])
+            elif line.strip():
+                m = re.search(r">(\S+?)\.\.\.", line)
+                clusters[cur].append(m.group(1).split("_")[0])
+    n = sum(len(v) for v in clusters.values())
+    pure = sum(max(Counter(v).values()) for v in clusters.values())
+    # NMI
+    lab_tot = Counter(x for v in clusters.values() for x in v)
+    h_true = -sum(c / n * _m.log(c / n) for c in lab_tot.values())
+    h_clu = -sum(len(v) / n * _m.log(len(v) / n)
+                 for v in clusters.values())
+    mi = 0.0
+    for v in clusters.values():
+        for lab, c in Counter(v).items():
+            mi += c / n * _m.log((c / n) / (len(v) / n * lab_tot[lab] / n))
+    denom = _m.sqrt(h_true * h_clu) or 1.0
+    return {"purity": round(pure / n, 4), "nmi": round(mi / denom, 4),
+            "n_clusters": len(clusters)}
+
+
 def time_reference(path: str) -> float | None:
     """Reference binary seq/s on this machine (cached)."""
     if os.environ.get("BENCH_SKIP_REF") == "1":
@@ -190,6 +274,34 @@ def main() -> None:
         print(perf.format_report(), file=sys.stderr, flush=True)
         rows.append(_perf_row("15k_id90_align", N, align_s, al_rep,
                               published_s=407.68))
+        # 16S-style row: --id 0.85 --delta 10 (BASELINE config 3;
+        # reference rows Tables/Real.csv:54-75)
+        s16 = make_16s_dataset(20000)
+        s16_s, s16_rep = timed(ClusterConfig(
+            files=[s16], similarity=0.85, delta=10, output=out))
+        row = _perf_row("16s_20k_id85_d10", 20000, s16_s, s16_rep)
+        row.update(cluster_quality(out))
+        rows.append(row)
+        # viral low-identity align-mode row: --id 0.50 (BASELINE config 4;
+        # reference purity 0.907 at --id 0.50, Tables/Viral.csv:6)
+        vir = make_viral_dataset()
+        vir_n = 6 * 500
+        vir_s, vir_rep = timed(ClusterConfig(
+            files=[vir], similarity=0.50, output=out))
+        row = _perf_row("viral_3k_id50_align", vir_n, vir_s, vir_rep)
+        row.update(cluster_quality(out))
+        rows.append(row)
+        # the 1M north-star config (BASELINE.json headline; reference's own
+        # large run: Costello ~1.1M reads, 9:25.28 wall = 565.28 s,
+        # Tables/Real.csv:62). Steady-state only (one run; the dataset and
+        # compiled programs are cached across rounds).
+        if os.environ.get("BENCH_SKIP_1M") != "1":
+            m1 = make_dataset(1000000)
+            m1_s, m1_rep = timed(ClusterConfig(
+                files=[m1], similarity=0.90, output=out))
+            print(perf.format_report(), file=sys.stderr, flush=True)
+            rows.append(_perf_row("1M_id90", 1000000, m1_s, m1_rep,
+                                  published_s=565.28))
 
     ref_s = time_reference(path)
     if ref_s is not None:

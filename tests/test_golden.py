@@ -142,3 +142,26 @@ def test_parity_align_mode(rng, make_fasta, tmp_path, have_ref):
     print(f"\nalign-mode --id 0.50: exact={eq} NMI={score:.4f} "
           f"#ref={len(set(rl.values()))} #ours={len(set(ol.values()))}")
     assert eq or score > 0.95
+
+
+@pytest.mark.slow
+def test_parity_nondefault_delta(rng, make_fasta, tmp_path, have_ref):
+    """Non-default --delta 10 at --id 0.85 (the 16S-style BASELINE config 3;
+    reference rows Tables/Real.csv:54-75): exact partition parity vs the
+    reference binary — delta changes both the Phase-B pool window and the
+    merge band, so this exercises windows the default-delta table never
+    touches."""
+    records = _synthetic(rng, n_species=8, per=12, length=250, rate=0.05)
+    path = make_fasta(records, "pdelta.fasta")
+    ref_out = str(tmp_path / "rd.clstr")
+    our_out = str(tmp_path / "od.clstr")
+    run_reference(path, ref_out, similarity=0.85, delta=10, iterations=5)
+    run(ClusterConfig(files=[path], similarity=0.85, delta=10,
+                      output=our_out, iterations=5))
+    rl = partition_labels(parse_clstr(ref_out))
+    ol = partition_labels(parse_clstr(our_out))
+    eq = _partition_equal(rl, ol)
+    score = nmi(ol, rl)
+    print(f"\n--id 0.85 --delta 10: exact={eq} NMI={score:.4f} "
+          f"#ref={len(set(rl.values()))} #ours={len(set(ol.values()))}")
+    assert eq, (score, len(set(rl.values())), len(set(ol.values())))
