@@ -106,8 +106,8 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
     if cached is not None:
         return cached
 
-    def fn(hist_s, mag_s, sq_s, len_s, bin_of, bin_start, bin_end,
-           begin_bounds, mins, maxs, is_sim, weights,
+    def fn(hist_s, mag_s, sq_s, len_s, orig_ids, bin_of, bin_start,
+           bin_end, begin_bounds, mins, maxs, is_sim, weights,
            active, owner, stamp, t0, seed0, c0, center_slot, done0,
            c_limit):
         """One bounded dispatch: continue the accumulation from the given
@@ -115,7 +115,14 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
         center count keeps single-program runtime under any TPU runtime
         watchdog (an unbounded 1M-point program ran for minutes in one
         dispatch and crashed the worker) and lets the host report
-        progress between chunks. State arrays are donated."""
+        progress between chunks. State arrays are donated.
+
+        Slots are BUCKET-LOCAL: the driver periodically compacts the live
+        set into a smaller power-of-4 bucket (absorbed members are never
+        accessed after their center completes), rebuilding per-bucket
+        consts. orig_ids maps bucket slots back to original slots; only
+        center_slot records original ids (owner/stamp are bucket-local and
+        flushed by the driver at compaction)."""
         i32 = jnp.int32
         len_i = len_s.astype(i32)
         t_ar = jnp.arange(T, dtype=i32)
@@ -248,11 +255,15 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             stamp = jnp.where(pos, t, stamp)
             active = active & ~pos
             posf = pos.astype(jnp.float32)
-            # [1,N]x[N,V] matvec: exact integer f32 accumulation on the MXU
+            npos = jnp.sum(posf)
+            # [1,N]x[N,V] matvec: exact integer f32 accumulation on the MXU.
+            # NOT wrapped in lax.cond: a cond branch capturing h_f forces
+            # the u8->f32 convert to materialize as a 1 GB branch operand at
+            # 1M x 256 (measured +50s over a run); unconditional, the
+            # convert fuses into the dot.
             sumvec = sumvec + jax.lax.dot_general(
                 posf[None, :], h_f, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)[0]
-            npos = jnp.sum(posf)
             count = count + npos
             return owner, stamp, active, sumvec, count, best, npos > 0
 
@@ -274,7 +285,10 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                 mean = sumvec / jnp.maximum(count, 1.0)
                 cw = jnp.floor(mean)
                 dist = 2.0 * jnp.sum(jnp.minimum(h_f, cw[None, :]), axis=1)
-                mg = jnp.sum(jnp.floor(h_f + mean[None, :]), axis=1)
+                # exact identity for integer h: floor(h + mean) = h +
+                # floor(mean) (both < 2^24, the f32 add is exact), so the
+                # [N, V] floor pass collapses to mag + sum(floor(mean))
+                mg = mag_s + jnp.sum(cw)
                 frac = dist / jnp.maximum(mg, 1.0)
                 dh = 10000.0 * (1.0 - frac * frac)
                 dl = jnp.zeros_like(dh)
@@ -326,7 +340,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                            sumvec, count, jnp.bool_(False), i32(-1))
             (active, owner, stamp, t, last_slot, _, _, _, _,
              best) = jax.lax.while_loop(inner_cond, inner_body, inner_state)
-            center_slot = center_slot.at[c].set(last_slot)
+            center_slot = center_slot.at[c].set(orig_ids[last_slot])
 
             # next seed: best candidate (erase) or pop() (first live slot)
             def from_best(_):
@@ -351,7 +365,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
         state = (active, owner, stamp, t0, seed0, c0, center_slot, done0)
         return jax.lax.while_loop(outer_cond, outer_body, state)
 
-    jitted = jax.jit(fn, donate_argnums=(12, 13, 14, 18))
+    jitted = jax.jit(fn, donate_argnums=(13, 14, 15, 19))
     _BUILD_CACHE[key] = jitted
     return jitted
 
@@ -398,42 +412,94 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
         weights_a = jnp.asarray(params.weights, jnp.float32)
 
     Cmax = cmax_hint or (N + 1)
-    fn = build_accumulate(N, ps.V, nbins, Cmax, sim,
-                          params.singles,
-                          [(c, list(ix)) for c, ix in params.combos],
-                          use_ds=use_ds)
+    combos_l = [(c, list(ix)) for c, ix in params.combos]
     # Chunked dispatch: K centers per device call (watchdog-safe at any N);
     # state arrays stay device-resident and are donated between calls.
+    # Between chunks the live set is COMPACTED into a smaller power-of-2
+    # bucket once it shrinks 4x below the current one: absorbed members are
+    # never accessed after their center completes, so the full-array sweeps
+    # then scale with the live count, not N. Each bucket size is its own
+    # compiled program (~5 variants over a full run, persistent-cached).
     import os
     K = max(1, int(os.environ.get("MESHCLUST_ACCUM_CHUNK", "512")))
+    compact_on = os.environ.get("MESHCLUST_ACCUM_COMPACT", "1") == "1"
+    min_bucket = int(os.environ.get("MESHCLUST_ACCUM_MINBUCKET", "4096"))
+    i32 = jnp.int32
+    Nb = N
+    hist_b, mag_b, sq_b, len_b = hist_s, mag_s, sq_s, len_s
+    orig_b = jnp.arange(N, dtype=i32)
+    bin_of_b = jnp.asarray(bin_of)
+    bin_start_b = jnp.asarray(bin_start)
+    bin_end_b = jnp.asarray(bin_end)
+    bb_dev = jnp.asarray(begin_bounds)
+    is_sim_a = jnp.asarray(params.is_sim)
     active = jnp.ones(N, bool).at[0].set(False)   # pop() the first seed
-    owner = jnp.full(N, -1, jnp.int32)
-    stamp = jnp.zeros(N, jnp.int32)
-    center_slot = jnp.full(Cmax, -1, jnp.int32)
-    t = jnp.int32(0)
-    seed = jnp.int32(0)
-    c = jnp.int32(0)
+    owner_l = jnp.full(N, -1, i32)
+    stamp_l = jnp.zeros(N, i32)
+    center_slot = jnp.full(Cmax, -1, i32)
+    t = i32(0)
+    seed = i32(0)
+    c = i32(0)
     done = jnp.bool_(False)
-    consts = (hist_s, mag_s, sq_s, len_s,
-              jnp.asarray(bin_of), jnp.asarray(bin_start),
-              jnp.asarray(bin_end), jnp.asarray(begin_bounds),
-              mins_a, maxs_a, jnp.asarray(params.is_sim), weights_a)
+    g_owner = np.full(N, -1, np.int32)
+    g_stamp = np.zeros(N, np.int32)
+
+    def flush(owner_l, stamp_l, orig_b):
+        ow = np.asarray(owner_l)
+        st = np.asarray(stamp_l)
+        oi = np.asarray(orig_b)
+        sel = ow >= 0
+        g_owner[oi[sel]] = ow[sel]
+        g_stamp[oi[sel]] = st[sel]
+
     from meshclust_tpu.utils.progress import Progress
     prog = Progress(N + 1, "Accumulation")
     n_done_prev = 0
     while True:
-        limit = jnp.int32(min(int(c) + K, Cmax))
-        (active, owner, stamp, t, seed, c, center_slot, done) = fn(
-            *consts, active, owner, stamp, t, seed, c, center_slot, done,
+        fn = build_accumulate(Nb, ps.V, nbins, Cmax, sim, params.singles,
+                              combos_l, use_ds=use_ds)
+        limit = i32(min(int(c) + K, Cmax))
+        (active, owner_l, stamp_l, t, seed, c, center_slot, done) = fn(
+            hist_b, mag_b, sq_b, len_b, orig_b, bin_of_b, bin_start_b,
+            bin_end_b, bb_dev, mins_a, maxs_a, is_sim_a, weights_a,
+            active, owner_l, stamp_l, t, seed, c, center_slot, done,
             limit)
+        live = int(jnp.sum(active))
+        n_done = N - (live + 1)
+        prog += max(0, n_done - n_done_prev)
+        n_done_prev = max(n_done_prev, n_done)
         if bool(done):
             break
-        n_done = N - int(jnp.sum(active))
-        prog += n_done - n_done_prev
-        n_done_prev = n_done
+        target = max(min_bucket, 1 << (live + 1).bit_length())
+        if compact_on and target <= Nb // 2:
+            # retain the pending seed slot (inactive but not yet absorbed)
+            keep = active.at[seed].set(True)
+            perm = jnp.argsort(~keep, stable=True)[:target]
+            kept = keep[perm]
+            flush(owner_l, stamp_l, orig_b)
+            hist_b = hist_b[perm]
+            mag_b = mag_b[perm]
+            sq_b = sq_b[perm]
+            # pads sort after every live length in the last bin
+            len_b = jnp.where(kept, len_b[perm],
+                              jnp.asarray(2**31 - 1, len_b.dtype))
+            bin_of_b = jnp.where(kept, bin_of_b[perm], i32(nbins - 1))
+            orig_new = jnp.where(kept, orig_b[perm], i32(N))
+            rng_b = jnp.arange(nbins, dtype=i32)
+            bin_start_b = jnp.searchsorted(bin_of_b, rng_b,
+                                           side="left").astype(i32)
+            bin_end_b = jnp.searchsorted(bin_of_b, rng_b,
+                                         side="right").astype(i32)
+            seed = i32(int(jnp.argmax(perm == seed)))
+            orig_b = orig_new
+            active = kept & active[perm]
+            owner_l = jnp.full(target, -1, i32)
+            stamp_l = jnp.zeros(target, i32)
+            Nb = target
     prog.end()
-    owner = np.asarray(owner)
-    stamp = np.asarray(stamp)
+    flush(owner_l, stamp_l, orig_b)
+    owner = g_owner
+    stamp = g_stamp
     center_slot = np.asarray(center_slot)
     n_centers = int(c)
     # perf counters: total absorb iterations (stamps) + centers found

@@ -677,10 +677,13 @@ class DeviceBackend:
                         dh, dl = DSC.distance_d_mean(
                             h_m, (mean2[0][jc], mean2[1][jc]))
                     else:
-                        cmean = mean_f32[jc]
-                        cw = jnp.floor(cmean)
+                        cw_all = jnp.floor(mean_f32)
+                        cw = cw_all[jc]
                         dist = 2.0 * jnp.sum(jnp.minimum(h_m, cw), axis=-1)
-                        mg = jnp.sum(jnp.floor(h_m + cmean), axis=-1)
+                        # floor(h + mean) = h + floor(mean) for integer h
+                        # (exact in f32 below 2^24): the [M, V] floor pass
+                        # collapses to mag_m + rowsum(floor(mean))[jc]
+                        mg = mag_m + jnp.sum(cw_all, axis=-1)[jc]
                         frac = dist / jnp.maximum(mg, 1.0)
                         dh = 10000.0 * (1.0 - frac * frac)
                         dl = jnp.zeros_like(dh)

@@ -64,3 +64,25 @@ def test_device_accumulate_partitions_everything(rng):
     assert all_members == list(range(ps.n))
     for c in centers:
         assert c.center in c.members
+
+
+def test_device_accumulate_with_compaction_matches_host(rng, monkeypatch):
+    """Force live-set bucket compaction (tiny min bucket + tiny center
+    chunks) and assert the result is still member-for-member identical to
+    the host path — compaction must be semantically invisible."""
+    monkeypatch.setenv("MESHCLUST_ACCUM_MINBUCKET", "8")
+    monkeypatch.setenv("MESHCLUST_ACCUM_CHUNK", "2")
+    ps = _pointset(rng, n_species=8, per=10, length=300)
+    params = _params(ps)
+    from meshclust_tpu.core.accumulate_device import accumulate_device
+    centers_dev = accumulate_device(ps, _fresh_bv(ps), params, 0.90)
+
+    be2 = C.DeviceBackend(ps, params)
+    be2.supports_device_accumulate = False
+    ms_host = MeanShift(ps, be2, sim=0.90, delta=3, iterations=1)
+    centers_host = ms_host.accumulate_all(_fresh_bv(ps))
+
+    assert len(centers_dev) == len(centers_host)
+    for cd, ch in zip(centers_dev, centers_host):
+        assert cd.center == ch.center
+        assert cd.members == ch.members
