@@ -424,6 +424,11 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     K = max(1, int(os.environ.get("MESHCLUST_ACCUM_CHUNK", "512")))
     compact_on = os.environ.get("MESHCLUST_ACCUM_COMPACT", "1") == "1"
     min_bucket = int(os.environ.get("MESHCLUST_ACCUM_MINBUCKET", "4096"))
+    # Below ~260k points the full-bucket sweeps are already cheap (150k
+    # accumulate ~3.5s) and each bucket variant costs a cold compile, so
+    # compaction defaults off for small corpora (override via env).
+    if "MESHCLUST_ACCUM_COMPACT" not in os.environ and N < 262144:
+        compact_on = False
     i32 = jnp.int32
     Nb = N
     hist_b, mag_b, sq_b, len_b = hist_s, mag_s, sq_s, len_s

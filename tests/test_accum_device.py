@@ -72,6 +72,7 @@ def test_device_accumulate_with_compaction_matches_host(rng, monkeypatch):
     the host path — compaction must be semantically invisible."""
     monkeypatch.setenv("MESHCLUST_ACCUM_MINBUCKET", "8")
     monkeypatch.setenv("MESHCLUST_ACCUM_CHUNK", "2")
+    monkeypatch.setenv("MESHCLUST_ACCUM_COMPACT", "1")  # small-N gate off
     ps = _pointset(rng, n_species=8, per=10, length=300)
     params = _params(ps)
     from meshclust_tpu.core.accumulate_device import accumulate_device
