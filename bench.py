@@ -223,6 +223,8 @@ def _perf_row(name, n, wall_s, rep, cold_s=None, published_s=None):
 
 
 def main() -> None:
+    global _t_start
+    _t_start = time.time()
     path = make_dataset()
 
     import jax
@@ -294,8 +296,12 @@ def main() -> None:
         # the 1M north-star config (BASELINE.json headline; reference's own
         # large run: Costello ~1.1M reads, 9:25.28 wall = 565.28 s,
         # Tables/Real.csv:62). Steady-state only (one run; the dataset and
-        # compiled programs are cached across rounds).
-        if os.environ.get("BENCH_SKIP_1M") != "1":
+        # compiled programs are cached across rounds). Soft time budget: if
+        # the earlier rows already consumed most of a plausible driver
+        # timeout, skip rather than risk losing the whole JSON line.
+        budget_s = float(os.environ.get("BENCH_1M_BUDGET_S", "1800"))
+        if (os.environ.get("BENCH_SKIP_1M") != "1"
+                and time.time() - _t_start < budget_s):
             m1 = make_dataset(1000000)
             m1_s, m1_rep = timed(ClusterConfig(
                 files=[m1], similarity=0.90, output=out))
