@@ -485,9 +485,13 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
             hist_b = hist_b[perm]
             mag_b = mag_b[perm]
             sq_b = sq_b[perm]
-            # pads sort after every live length in the last bin
+            # pads sort after every live length in the last bin. 2^30 is
+            # f32-exact and converts to int32 safely (len arrays are f32
+            # on device; 2^31-1 would round to 2^31 whose i32 convert is
+            # implementation-defined), and exceeds any real length (the
+            # reference chunks segments at 1 Mbp).
             len_b = jnp.where(kept, len_b[perm],
-                              jnp.asarray(2**31 - 1, len_b.dtype))
+                              jnp.asarray(2**30, len_b.dtype))
             bin_of_b = jnp.where(kept, bin_of_b[perm], i32(nbins - 1))
             orig_new = jnp.where(kept, orig_b[perm], i32(N))
             rng_b = jnp.arange(nbins, dtype=i32)
