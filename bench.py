@@ -111,35 +111,112 @@ def make_16s_dataset(n: int = 20000) -> str:
     return fasta
 
 
-def cluster_quality(clstr_path: str) -> dict:
-    """Purity + NMI of a CLSTR file against planted truth (header prefix
-    before the underscore is the true label)."""
-    import math as _m
-    from collections import Counter, defaultdict
-    clusters = defaultdict(list)
-    cur = None
+def read_members(clstr_path: str) -> dict:
+    """CLSTR -> {member header: cluster id}. Lines that don't match the
+    member pattern are skipped (a malformed line must not kill a bench
+    row)."""
     import re
+    out = {}
+    cur = None
     with open(clstr_path) as f:
         for line in f:
             if line.startswith(">Cluster"):
                 cur = int(line.split()[1])
             elif line.strip():
                 m = re.search(r">(\S+?)\.\.\.", line)
-                clusters[cur].append(m.group(1).split("_")[0])
-    n = sum(len(v) for v in clusters.values())
+                if m is None or cur is None:
+                    continue
+                out[m.group(1)] = cur
+    return out
+
+
+def _nmi(assign_a: dict, assign_b: dict) -> float:
+    """NMI between two partitions given as {member: cluster}."""
+    import math as _m
+    from collections import Counter
+    common = sorted(set(assign_a) & set(assign_b))
+    if not common:
+        return 0.0
+    n = len(common)
+    ca = Counter(assign_a[x] for x in common)
+    cb = Counter(assign_b[x] for x in common)
+    joint = Counter((assign_a[x], assign_b[x]) for x in common)
+    h_a = -sum(c / n * _m.log(c / n) for c in ca.values())
+    h_b = -sum(c / n * _m.log(c / n) for c in cb.values())
+    mi = sum(c / n * _m.log((c / n) / (ca[i] / n * cb[j] / n))
+             for (i, j), c in joint.items())
+    denom = _m.sqrt(h_a * h_b) or 1.0
+    return mi / denom
+
+
+def cluster_quality(clstr_path: str) -> dict:
+    """Purity + NMI of a CLSTR file against planted truth (header prefix
+    before the underscore is the true label)."""
+    from collections import Counter, defaultdict
+    assign = read_members(clstr_path)
+    clusters = defaultdict(list)
+    for hdr, cid in assign.items():
+        clusters[cid].append(hdr.split("_")[0])
+    n = sum(len(v) for v in clusters.values()) or 1
     pure = sum(max(Counter(v).values()) for v in clusters.values())
-    # NMI
-    lab_tot = Counter(x for v in clusters.values() for x in v)
-    h_true = -sum(c / n * _m.log(c / n) for c in lab_tot.values())
-    h_clu = -sum(len(v) / n * _m.log(len(v) / n)
-                 for v in clusters.values())
-    mi = 0.0
-    for v in clusters.values():
-        for lab, c in Counter(v).items():
-            mi += c / n * _m.log((c / n) / (len(v) / n * lab_tot[lab] / n))
-    denom = _m.sqrt(h_true * h_clu) or 1.0
-    return {"purity": round(pure / n, 4), "nmi": round(mi / denom, 4),
+    truth = {h: h.split("_")[0] for h in assign}
+    return {"purity": round(pure / n, 4),
+            "nmi": round(_nmi(assign, truth), 4),
             "n_clusters": len(clusters)}
+
+
+def reference_row(key: str, fasta: str, budget_s: float,
+                  **flags) -> dict | None:
+    """Measured on-THIS-machine reference baseline for one bench config:
+    {"ref_wall_s", "ref_purity", "ref_nmi", "ref_n_clusters"} plus the
+    reference CLSTR retained at a stable path for partition comparison.
+    Results (including a timeout marker) are cached in /tmp so each
+    machine pays the CPU run once (round-4 verdict weak #3)."""
+    if os.environ.get("BENCH_SKIP_REF") == "1":
+        return None
+    cache = f"/tmp/meshclust_bench_refrow_{key}.json"
+    out_clstr = f"/tmp/meshclust_bench_refout_{key}.clstr"
+    if os.path.exists(cache):
+        try:
+            row = json.loads(open(cache).read())
+            return row if "ref_wall_s" in row else None
+        except Exception:
+            pass
+    if budget_s <= 0:
+        return None
+    try:
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tests.golden.harness import run_reference
+        t0 = time.time()
+        run_reference(fasta, out_clstr, threads=os.cpu_count(),
+                      timeout=budget_s, **flags)
+        dt = time.time() - t0
+        row = {"ref_wall_s": round(dt, 2)}
+        row.update({"ref_" + k: v
+                    for k, v in cluster_quality(out_clstr).items()})
+    except subprocess.TimeoutExpired:
+        row = {"ref_timeout_s": budget_s}
+    except Exception:
+        return None
+    with open(cache, "w") as f:
+        f.write(json.dumps(row))
+    return row if "ref_wall_s" in row else None
+
+
+def attach_reference(row: dict, key: str, fasta: str, ours_clstr: str,
+                     budget_s: float, **flags) -> None:
+    """Attach the measured reference baseline + partition NMI between our
+    output and the reference's to a bench row."""
+    ref = reference_row(key, fasta, budget_s, **flags)
+    if ref is None:
+        return
+    row.update(ref)
+    ref_clstr = f"/tmp/meshclust_bench_refout_{key}.clstr"
+    if os.path.exists(ref_clstr) and os.path.exists(ours_clstr):
+        row["partition_nmi_vs_ref"] = round(
+            _nmi(read_members(ours_clstr), read_members(ref_clstr)), 4)
+    if "ref_wall_s" in row and row["ref_wall_s"] > 0:
+        row["vs_machine_ref"] = round(row["ref_wall_s"] / row["wall_s"], 3)
 
 
 def time_reference(path: str) -> float | None:
@@ -244,6 +321,22 @@ def main() -> None:
 
     warmup()
     out = "/tmp/bench_ours.clstr"
+
+    # Total CPU-time budget for measuring the reference binary on THIS
+    # machine (cached per config across runs, so later invocations spend
+    # ~0 here and rows accumulate measured baselines).
+    ref_budget = float(os.environ.get("BENCH_REF_BUDGET_S", "1500"))
+    ref_spent = [0.0]
+
+    def attach_ref(row, key, fasta, **flags):
+        import shutil
+        ours_copy = f"/tmp/meshclust_bench_ours_{key}.clstr"
+        shutil.copyfile(out, ours_copy)
+        t0 = time.time()
+        attach_reference(row, key, fasta, ours_copy,
+                         ref_budget - ref_spent[0], **flags)
+        ref_spent[0] += time.time() - t0
+
     # Cold run: pays any jit/Mosaic compiles this machine has never seen
     # (they land in the persistent compilation cache, utils/jaxcache — a
     # one-time per-machine cost, the analogue of the reference's AOT-built
@@ -256,6 +349,8 @@ def main() -> None:
     print(perf.format_report(), file=sys.stderr, flush=True)
     rows = [_perf_row(f"{N//1000}k_id90", N, ours_s, rep, cold_s=cold_s,
                       published_s=4.28 if N == 15000 else None)]
+    rows[0].update(cluster_quality(out))
+    attach_ref(rows[0], f"{N//1000}k_id90", path)
 
     quick = os.environ.get("BENCH_QUICK") == "1"
     if not quick and N == 15000:
@@ -267,15 +362,21 @@ def main() -> None:
         big_s, big_rep = timed(ClusterConfig(
             files=[big_path], similarity=0.90, output=out))
         print(perf.format_report(), file=sys.stderr, flush=True)
-        rows.append(_perf_row("150k_id90", big, big_s, big_rep,
-                              cold_s=big_cold, published_s=77.54))
+        row = _perf_row("150k_id90", big, big_s, big_rep,
+                        cold_s=big_cold, published_s=77.54)
+        row.update(cluster_quality(out))
+        attach_ref(row, "150k_id90", big_path)
+        rows.append(row)
         # align-mode row (reference published: 6:47.68 = 407.68 s at 15k
         # --id 0.90 --align, Tables/Align.csv:7)
         align_s, al_rep = timed(ClusterConfig(
             files=[path], similarity=0.90, align=True, output=out))
         print(perf.format_report(), file=sys.stderr, flush=True)
-        rows.append(_perf_row("15k_id90_align", N, align_s, al_rep,
-                              published_s=407.68))
+        row = _perf_row("15k_id90_align", N, align_s, al_rep,
+                        published_s=407.68)
+        row.update(cluster_quality(out))
+        attach_ref(row, "15k_id90_align", path, align=True)
+        rows.append(row)
         # 16S-style row: --id 0.85 --delta 10 (BASELINE config 3;
         # reference rows Tables/Real.csv:54-75)
         s16 = make_16s_dataset(20000)
@@ -283,6 +384,8 @@ def main() -> None:
             files=[s16], similarity=0.85, delta=10, output=out))
         row = _perf_row("16s_20k_id85_d10", 20000, s16_s, s16_rep)
         row.update(cluster_quality(out))
+        attach_ref(row, "16s_20k_id85_d10", s16, similarity=0.85,
+                   delta=10)
         rows.append(row)
         # viral low-identity align-mode row: --id 0.50 (BASELINE config 4;
         # reference purity 0.907 at --id 0.50, Tables/Viral.csv:6)
@@ -292,6 +395,7 @@ def main() -> None:
             files=[vir], similarity=0.50, output=out))
         row = _perf_row("viral_3k_id50_align", vir_n, vir_s, vir_rep)
         row.update(cluster_quality(out))
+        attach_ref(row, "viral_3k_id50", vir, similarity=0.50)
         rows.append(row)
         # the 1M north-star config (BASELINE.json headline; reference's own
         # large run: Costello ~1.1M reads, 9:25.28 wall = 565.28 s,
@@ -306,8 +410,13 @@ def main() -> None:
             m1_s, m1_rep = timed(ClusterConfig(
                 files=[m1], similarity=0.90, output=out))
             print(perf.format_report(), file=sys.stderr, flush=True)
-            rows.append(_perf_row("1M_id90", 1000000, m1_s, m1_rep,
-                                  published_s=565.28))
+            row = _perf_row("1M_id90", 1000000, m1_s, m1_rep,
+                            published_s=565.28)
+            row.update(cluster_quality(out))
+            # the 2-core reference run takes hours; only attempted when
+            # BENCH_REF_BUDGET_S is raised explicitly (cached once done)
+            attach_ref(row, "1M_id90", m1)
+            rows.append(row)
 
     ref_s = time_reference(path)
     if ref_s is not None:

@@ -71,6 +71,21 @@ def _classify(h_w, h_c, mag_w, mag_c, sq_w, sq_c, len_w, len_c, V,
     return pos, f1, jnp.zeros_like(f1)
 
 
+def exact_mode(use_ds: bool) -> str:
+    """Resolve the arithmetic mode for classifier decisions.
+
+    'cert' (default when inputs are f32-exact): certified f32 with a DS
+    fallback cond — decisions bit-identical to 'ds' at ~f32 cost
+    (ops/certify.py). 'ds': always double-single (the round-3/4 path;
+    MESHCLUST_EXACT_MODE=ds forces it, for A/B). 'f32': plain f32
+    (inputs not exact, documented drift)."""
+    import os
+    forced = os.environ.get("MESHCLUST_EXACT_MODE", "")
+    if forced in ("ds", "f32", "cert"):
+        return forced
+    return "cert" if use_ds else "f32"
+
+
 def _pick_tile(N: int) -> int:
     """Static sweep-chunk width: one tile for small runs, bounded VMEM
     working set ([TILE, V] f32 gather) for large ones. Override with
@@ -89,27 +104,39 @@ _BUILD_CACHE: dict = {}
 
 
 def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
-                     singles, combos, tile: int = 0, use_ds: bool = False):
+                     singles, combos, tile: int = 0, mode: str = "f32"):
     """Build the jitted full-phase-A function.
 
     Static: N slots, V lanes, nbins, Cmax center capacity, similarity, the
     combo structure. Inputs are the per-slot arrays; returns (owner [N],
     stamp [N], center_slot [Cmax], n_centers). Built programs are cached
-    process-wide so repeat runs skip the (large) retrace. With use_ds every
-    classifier score / distance_d / f1 comparison runs in double-single
-    (ops/ds.py) — decisions equal the float64 host oracle."""
+    process-wide so repeat runs skip the (large) retrace.
+
+    mode: 'ds' = every classifier score / distance_d / f1 comparison in
+    double-single (ops/ds.py) — decisions equal the float64 host oracle.
+    'cert' = certified f32 (ops/certify.py): same decisions as 'ds', DS
+    evaluated only under a lax.cond when a margin is inside the error
+    bound (fallback counts returned in nfb). 'f32' = plain f32."""
     singles = tuple(singles)
     combos = tuple((c, tuple(ix)) for c, ix in combos)
     T = tile or _pick_tile(N)
-    key = (N, V, nbins, Cmax, float(sim), singles, combos, T, use_ds)
+    import os as _os
+    # compile-time ablation knobs for perf probing ONLY (wrong results):
+    # tokens: nowin (full-range window), noargmin (center never moves),
+    # nobest (skip seed selection)
+    dbg = frozenset(
+        t for t in _os.environ.get("MESHCLUST_ACCUM_DBG", "").split(",")
+        if t)
+    key = (N, V, nbins, Cmax, float(sim), singles, combos, T, mode, dbg)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         return cached
+    use_ds = mode == "ds"
 
     def fn(hist_s, mag_s, sq_s, len_s, orig_ids, bin_of, bin_start,
            bin_end, begin_bounds, mins, maxs, is_sim, weights,
            active, owner, stamp, t0, seed0, c0, center_slot, done0,
-           c_limit):
+           nfb0, c_limit):
         """One bounded dispatch: continue the accumulation from the given
         state until done OR c reaches c_limit. Bounding the per-dispatch
         center count keeps single-program runtime under any TPU runtime
@@ -218,8 +245,16 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
         slots_f = jnp.arange(N, dtype=jnp.float32)
         slots_i = jnp.arange(N, dtype=i32)
 
+        def _ds_score_full(man, dot, mg_c, sq_c, ln_c):
+            """Full-[N] DS evaluation from precomputed man/dot (the cert
+            fallback and the 'ds' mode share it)."""
+            from meshclust_tpu.ops import ds_classify as DSC
+            return DSC.score(singles, combos, mins, maxs, is_sim, weights,
+                             man, dot, mag_s, mg_c, sq_s, sq_c,
+                             len_s, ln_c, V)
+
         def classify_full(w0, w1, last_slot, owner, stamp, active,
-                          sumvec, count, t, c):
+                          sumvec, count, t, c, nfb):
             """Full-array masked sweep: classify EVERY slot against the
             center at last_slot in a handful of fused [N, V]/[N] ops, mask
             to live in-window rows, absorb positives. Replaces the round-3
@@ -228,7 +263,13 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             pass is ~10x cheaper wall-clock even though it touches every
             row (measured 0.9 ms vs 8.5 ms per iteration at 150k x 256).
             All row reductions are exact (integer-valued f32 < 2^24), so
-            results are bit-identical to the tiled path."""
+            results are bit-identical to the tiled path.
+
+            In 'cert' mode the score runs in certified f32; the DS
+            evaluation only fires (lax.cond) when some window row's margin
+            is inside the certified bound, and the first-max f1 `best` is
+            certified ONLY on the is_min iteration — the sole one whose
+            value the outer loop consumes (ClusterFactory.cpp:686-693)."""
             h_c = hist_s[last_slot].astype(jnp.float32)
             mg_c = mag_s[last_slot]
             sq_c = sq_s[last_slot]
@@ -236,20 +277,35 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             ok = active & (slots_i >= w0) & (slots_i <= w1) \
                 & (w1 >= w0)
             h_f = hist_s.astype(jnp.float32)
-            pos, f1h, f1l = _classify(
-                h_f, h_c, mag_s, mg_c, sq_s, sq_c, len_s, ln_c, V,
-                singles, combos, mins, maxs, is_sim, weights, use_ds)
+            if mode == "cert":
+                from meshclust_tpu.ops import certify as CT
+                man = jnp.sum(jnp.abs(h_f - h_c[None, :]), axis=1)
+                dot = h_f @ h_c
+                s, eps_s, f1, eps_f1 = CT.score(
+                    singles, combos, mins[0], maxs[0], is_sim, weights[0],
+                    man, dot, mag_s, mg_c, sq_s, sq_c, len_s, ln_c, V)
+                unc_s = jnp.any(ok & (jnp.abs(s) <= eps_s))
+                pos = jax.lax.cond(
+                    unc_s,
+                    lambda _: _ds_score_full(man, dot, mg_c, sq_c, ln_c)[0],
+                    lambda _: s >= 0.0, None)
+                nfb = nfb.at[0].add(unc_s.astype(i32))
+            else:
+                pos, f1h, f1l = _classify(
+                    h_f, h_c, mag_s, mg_c, sq_s, sq_c, len_s, ln_c, V,
+                    singles, combos, mins, maxs, is_sim, weights, use_ds)
             pos = pos & ok
-            # first-max f1 over the window, slot order (strict >)
-            f1hm = jnp.where(ok, f1h, -INF)
-            bh = jnp.max(f1hm)
-            cand = (f1hm == bh) & ok
-            blm = jnp.where(cand, f1l, -INF)
-            bl = jnp.max(blm)
             any_ok = jnp.any(ok)
-            best = jnp.where(
-                any_ok,
-                jnp.argmax(cand & (blm == bl)).astype(i32), i32(-1))
+            if mode != "cert":
+                # first-max f1 over the window, slot order (strict >)
+                f1hm = jnp.where(ok, f1h, -INF)
+                bh = jnp.max(f1hm)
+                cand = (f1hm == bh) & ok
+                blm = jnp.where(cand, f1l, -INF)
+                bl = jnp.max(blm)
+                best = jnp.where(
+                    any_ok,
+                    jnp.argmax(cand & (blm == bl)).astype(i32), i32(-1))
             # absorb positives
             owner = jnp.where(pos, c, owner)
             stamp = jnp.where(pos, t, stamp)
@@ -265,81 +321,166 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                 posf[None, :], h_f, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)[0]
             count = count + npos
-            return owner, stamp, active, sumvec, count, best, npos > 0
+            # exactness telemetry: per-lane cluster sums must stay < 2^24
+            # for the integer-f32 accumulation (and the DS/cert mean) to
+            # be exact; the driver warns if this ever trips (ADVICE r4).
+            nfb = nfb.at[3].max(jnp.max(sumvec).astype(i32))
+            any_pos = npos > 0
+            if mode == "cert":
+                def certified_best(nfb):
+                    f1m = jnp.where(ok, f1, -INF)
+                    bh = jnp.max(f1m)
+                    win = jnp.argmax(f1m).astype(i32)   # first max
+                    epsm = jnp.max(jnp.where(ok, eps_f1, 0.0))
+                    near = ok & (f1m >= bh - (eps_f1 + epsm))
+                    # rows with inputs identical to the winner's give a
+                    # bitwise-equal f1 in f32 AND f64 — first-index wins
+                    # either way; only DISTINCT-input near rows need DS
+                    wc = jnp.clip(win, 0, N - 1)
+                    dw = ((man != man[wc]) | (dot != dot[wc])
+                          | (mag_s != mag_s[wc]) | (sq_s != sq_s[wc])
+                          | (len_s != len_s[wc]))
+                    unc_b = jnp.any(near & dw)
 
-        def mean_argmin_full(owner, stamp, c, sumvec, count):
-            """get_mean: member argmin of distance_d over owner == c.
-            First min in member-insertion order == lexicographic
-            (dh, dl, stamp, slot) min, since members were appended in
-            (stamp, slot) order."""
-            mask = owner == c
+                    def ds_best(_):
+                        _, f1h2, f1l2 = _ds_score_full(man, dot, mg_c,
+                                                       sq_c, ln_c)
+                        f1hm = jnp.where(ok, f1h2, -INF)
+                        bh2 = jnp.max(f1hm)
+                        cnd = (f1hm == bh2) & ok
+                        blm = jnp.where(cnd, f1l2, -INF)
+                        bl2 = jnp.max(blm)
+                        return jnp.argmax(cnd & (blm == bl2)).astype(i32)
+
+                    best = jax.lax.cond(unc_b, ds_best,
+                                        lambda _: win, None)
+                    return (jnp.where(any_ok, best, i32(-1)),
+                            nfb.at[1].add(unc_b.astype(i32)))
+
+                # only the is_min iteration's best is consumed
+                if "nobest" in dbg:
+                    best = i32(-1)
+                else:
+                    best, nfb = jax.lax.cond(
+                        any_pos, lambda nfb: (i32(-1), nfb),
+                        certified_best, nfb)
+            return (owner, stamp, active, sumvec, count, best, any_pos,
+                    nfb)
+
+        IMAX = jnp.int32(np.iinfo(np.int32).max)
+
+        def _lex_tail(cand, stamp):
+            """First member in insertion order among cand == lexicographic
+            (stamp, slot) min — int32 throughout (a float32 stamp cast
+            collapses distinct stamps past 2^24 cumulative iterations)."""
+            ms = jnp.min(jnp.where(cand, stamp, IMAX))
+            cand = cand & (stamp == ms)
+            return jnp.min(jnp.where(cand, slots_i, i32(N))).astype(i32)
+
+        def _ds_argmin(mask, stamp, sumvec, count):
+            from meshclust_tpu.ops import ds_classify as DSC
             h_f = hist_s.astype(jnp.float32)
-            if use_ds:
-                from meshclust_tpu.ops import ds_classify as DSC
-                from meshclust_tpu.ops import ds as DS
-                mean2 = DS.div(DS.wrap(sumvec),
-                               DS.wrap(jnp.maximum(count, 1.0)))
-                dh, dl = DSC.distance_d_mean(
-                    h_f, (mean2[0][None, :], mean2[1][None, :]))
-            else:
-                mean = sumvec / jnp.maximum(count, 1.0)
-                cw = jnp.floor(mean)
-                dist = 2.0 * jnp.sum(jnp.minimum(h_f, cw[None, :]), axis=1)
-                # exact identity for integer h: floor(h + mean) = h +
-                # floor(mean) (both < 2^24, the f32 add is exact), so the
-                # [N, V] floor pass collapses to mag + sum(floor(mean))
-                mg = mag_s + jnp.sum(cw)
-                frac = dist / jnp.maximum(mg, 1.0)
-                dh = 10000.0 * (1.0 - frac * frac)
-                dl = jnp.zeros_like(dh)
+            cw = DSC.cw_exact(sumvec, count)
+            dh, dl = DSC.distance_d_from_cw(h_f, cw[None, :])
             dh = jnp.where(mask, dh, INF)
             dl = jnp.where(mask, dl, INF)
             mh = jnp.min(dh)
             cand = (dh == mh) & mask
             ml = jnp.min(jnp.where(cand, dl, INF))
-            cand = cand & (dl == ml)
-            st = jnp.where(cand, stamp.astype(jnp.float32), INF)
-            ms = jnp.min(st)
-            cand = cand & (st == ms)
-            bs = jnp.min(jnp.where(cand, slots_f, jnp.float32(N)))
-            return bs.astype(i32)
+            return _lex_tail(cand & (dl == ml), stamp)
+
+        def mean_argmin_full(owner, stamp, c, sumvec, count, nfb):
+            """get_mean: member argmin of distance_d over owner == c.
+            First min in member-insertion order == lexicographic
+            (dh, dl, stamp, slot) min, since members were appended in
+            (stamp, slot) order.
+
+            'cert' mode: cw = floor(mean) is computed EXACTLY by integer
+            division (for integer sums/counts < 2^24 the f64 quotient
+            never rounds across an integer, so this equals the
+            reference's double mean + truncation); d then depends only on
+            the exact int pair (dist, mg), so near-min rows are uncertain
+            only when their (dist, mg) differs from the winner's — exact
+            duplicates never trigger the DS fallback."""
+            mask = owner == c
+            h_f = hist_s.astype(jnp.float32)
+            if mode == "ds":
+                return _ds_argmin(mask, stamp, sumvec, count), nfb
+            if mode == "cert":
+                from meshclust_tpu.ops import certify as CT
+                cnt_i = jnp.maximum(count, 1.0).astype(i32)
+                cw_i = CT.exact_floor_div(
+                    sumvec.astype(i32), jnp.broadcast_to(cnt_i, (V,)))
+                cw = cw_i.astype(jnp.float32)
+            else:
+                mean = sumvec / jnp.maximum(count, 1.0)
+                cw = jnp.floor(mean)
+            dist = 2.0 * jnp.sum(jnp.minimum(h_f, cw[None, :]), axis=1)
+            # exact identity for integer h: floor(h + mean) = h +
+            # floor(mean) (both < 2^24, the f32 add is exact), so the
+            # [N, V] floor pass collapses to mag + sum(floor(mean))
+            mg = mag_s + jnp.sum(cw)
+            if mode == "cert":
+                d, eps_d = CT.distance_d(dist, mg)
+            else:
+                frac = dist / jnp.maximum(mg, 1.0)
+                d = 10000.0 * (1.0 - frac * frac)
+            dm = jnp.where(mask, d, INF)
+            mh = jnp.min(dm)
+            bs = _lex_tail((dm == mh) & mask, stamp)
+            if mode != "cert":
+                return bs, nfb
+            epsm = jnp.max(jnp.where(mask, eps_d, 0.0))
+            near = mask & (dm <= mh + eps_d + epsm)
+            bc = jnp.clip(bs, 0, N - 1)
+            unc = jnp.any(near & ((dist != dist[bc]) | (mg != mg[bc])))
+            out = jax.lax.cond(
+                unc, lambda _: _ds_argmin(mask, stamp, sumvec, count),
+                lambda _: bs, None)
+            return out, nfb.at[2].add(unc.astype(i32))
 
         def inner_body(state):
             (active, owner, stamp, t, last_slot, c, sumvec, count,
-             is_min, _prev_best) = state
-            qext = jnp.concatenate(
-                [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
-            live_cnt = live_bounds(qext)
-            length = len_i[last_slot]
-            w0, w1 = window_bounds(length, qext, live_cnt)
+             is_min, _prev_best, nfb) = state
+            if "nowin" in dbg:
+                w0, w1 = i32(0), i32(N - 1)
+            else:
+                qext = jnp.concatenate(
+                    [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
+                live_cnt = live_bounds(qext)
+                length = len_i[last_slot]
+                w0, w1 = window_bounds(length, qext, live_cnt)
             (owner, stamp, active, sumvec, count, best,
-             any_pos) = classify_full(
+             any_pos, nfb) = classify_full(
                 w0, w1, last_slot, owner, stamp, active, sumvec, count,
-                t, c)
+                t, c, nfb)
 
-            last_slot = jax.lax.cond(
-                any_pos,
-                lambda _: mean_argmin_full(owner, stamp, c, sumvec, count),
-                lambda _: last_slot, None)
+            if "noargmin" not in dbg:
+                last_slot, nfb = jax.lax.cond(
+                    any_pos,
+                    lambda nfb: mean_argmin_full(owner, stamp, c, sumvec,
+                                                 count, nfb),
+                    lambda nfb: (last_slot, nfb), nfb)
 
             return (active, owner, stamp, t + 1, last_slot, c, sumvec,
-                    count, ~any_pos, best)
+                    count, ~any_pos, best, nfb)
 
         def inner_cond(state):
             return ~state[8]
 
         def outer_body(state):
-            (active, owner, stamp, t, seed_slot, c, center_slot, done) \
-                = state
+            (active, owner, stamp, t, seed_slot, c, center_slot, done,
+             nfb) = state
             # start a center at seed_slot
             owner = owner.at[seed_slot].set(c)
             stamp = stamp.at[seed_slot].set(t)
             sumvec = hist_s[seed_slot].astype(jnp.float32)
             count = jnp.float32(1.0)
             inner_state = (active, owner, stamp, t + 1, seed_slot, c,
-                           sumvec, count, jnp.bool_(False), i32(-1))
+                           sumvec, count, jnp.bool_(False), i32(-1), nfb)
             (active, owner, stamp, t, last_slot, _, _, _, _,
-             best) = jax.lax.while_loop(inner_cond, inner_body, inner_state)
+             best, nfb) = jax.lax.while_loop(inner_cond, inner_body,
+                                             inner_state)
             center_slot = center_slot.at[c].set(orig_ids[last_slot])
 
             # next seed: best candidate (erase) or pop() (first live slot)
@@ -357,15 +498,16 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             done = (next_seed >= N) | (next_seed < 0) | (c + 1 >= Cmax)
             next_seed = jnp.clip(next_seed, 0, N - 1)
             return (active, owner, stamp, t, next_seed, c + 1,
-                    center_slot, done)
+                    center_slot, done, nfb)
 
         def outer_cond(state):
             return ~state[7] & (state[5] < c_limit)
 
-        state = (active, owner, stamp, t0, seed0, c0, center_slot, done0)
+        state = (active, owner, stamp, t0, seed0, c0, center_slot, done0,
+                 nfb0)
         return jax.lax.while_loop(outer_cond, outer_body, state)
 
-    jitted = jax.jit(fn, donate_argnums=(13, 14, 15, 19))
+    jitted = jax.jit(fn, donate_argnums=(13, 14, 15, 19, 21))
     _BUILD_CACHE[key] = jitted
     return jitted
 
@@ -401,7 +543,11 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     from meshclust_tpu.ops import ds as DS
     from meshclust_tpu.ops import ds_classify as DSC
     use_ds = DS.ds_inputs_exact(int(ps.mag.max()), int(ps.sq.max()))
-    if use_ds:
+    mode = exact_mode(use_ds)
+    if mode in ("ds", "cert"):
+        # 'cert' reads the hi words (row 0) as its f32 constants — the
+        # f32 roundings of the f64 values — and the full pairs in the
+        # DS fallback branches.
         cb = DSC.const_block(params)
         mins_a = jnp.asarray(cb["mins2"])
         maxs_a = jnp.asarray(cb["spans2"])
@@ -460,15 +606,18 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     from meshclust_tpu.utils.progress import Progress
     prog = Progress(N + 1, "Accumulation")
     n_done_prev = 0
+    # [score_fb, best_fb, argmin_fb, max per-lane cluster sum]
+    nfb = jnp.zeros(4, i32)
     while True:
         fn = build_accumulate(Nb, ps.V, nbins, Cmax, sim, params.singles,
-                              combos_l, use_ds=use_ds)
+                              combos_l, mode=mode)
         limit = i32(min(int(c) + K, Cmax))
-        (active, owner_l, stamp_l, t, seed, c, center_slot, done) = fn(
+        (active, owner_l, stamp_l, t, seed, c, center_slot, done,
+         nfb) = fn(
             hist_b, mag_b, sq_b, len_b, orig_b, bin_of_b, bin_start_b,
             bin_end_b, bb_dev, mins_a, maxs_a, is_sim_a, weights_a,
             active, owner_l, stamp_l, t, seed, c, center_slot, done,
-            limit)
+            nfb, limit)
         live = int(jnp.sum(active))
         n_done = N - (live + 1)
         prog += max(0, n_done - n_done_prev)
@@ -515,6 +664,18 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     from meshclust_tpu.utils import perf
     perf.add("accum_iters", float(stamp.max()) if N else 0.0)
     perf.add("accum_centers", float(n_centers))
+    fb = np.asarray(nfb)
+    if mode == "cert":
+        perf.add("accum_fb_score", float(fb[0]))
+        perf.add("accum_fb_best", float(fb[1]))
+        perf.add("accum_fb_argmin", float(fb[2]))
+    perf.add("accum_max_lane_sum", float(fb[3]))
+    if mode in ("ds", "cert") and int(fb[3]) >= (1 << 24):
+        from meshclust_tpu.utils.log import log
+        log(f"WARNING: a cluster's per-lane histogram sum reached "
+            f"{int(fb[3])} >= 2^24; mean-histogram arithmetic is no "
+            f"longer exactly integer in f32 and center selection may "
+            f"drift from the reference's double precision")
     if n_centers > Cmax:
         raise RuntimeError("center capacity exceeded; raise cmax_hint")
 

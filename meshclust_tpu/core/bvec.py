@@ -83,9 +83,23 @@ class BVec:
             self.lens[b] = lengths[sl].tolist()
 
     def insert_finalize(self) -> None:
+        """Sort each bin by length (bvec.cpp:208-218). The reference uses
+        UNSTABLE std::sort, and the in-bin tie order is the Phase-A member
+        iteration order — for bins > 16 elements libstdc++'s quicksort
+        phase permutes ties differently from a stable argsort (round-5
+        parity find: first wrong member order at 20k), so the introsort is
+        replayed exactly via the native helper when available."""
+        from meshclust_tpu import native
+        use_ref = native.get_refsort() is not None
         for b in range(len(self.idx)):
             lens = np.asarray(self.lens[b], np.int64)
-            order = np.argsort(lens, kind="stable")
+            if use_ref and len(lens) > 16:
+                order32 = np.arange(len(lens), dtype=np.int32)
+                native.ref_sort_perm(order32, lens)
+                order = order32.astype(np.int64)
+            else:
+                # <= 16 elements: libstdc++ uses insertion sort == stable
+                order = np.argsort(lens, kind="stable")
             self.idx[b] = np.asarray(self.idx[b], np.int64)[order]
             self.lens[b] = lens[order]
             self.marked[b] = np.zeros(len(order), bool)

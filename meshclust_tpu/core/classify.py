@@ -150,7 +150,7 @@ def _banded_mean_argmin(use_ds, Cp, delta, h_m, m_assign, pos_list, sums,
     M = h_m.shape[0]
     if use_ds:
         from meshclust_tpu.ops import ds_classify as DSC
-        mean2 = DSC.mean_pair(sums, counts)
+        cw_all = DSC.cw_exact(sums, counts)
     else:
         mean_f32 = sums / jnp.maximum(counts, 1.0)[:, None]
 
@@ -160,7 +160,7 @@ def _banded_mean_argmin(use_ds, Cp, delta, h_m, m_assign, pos_list, sums,
         jc = jnp.clip(m_assign + o, 0, Cp - 1)
         if use_ds:
             from meshclust_tpu.ops import ds_classify as DSC
-            dh, dl = DSC.distance_d_mean(h_m, (mean2[0][jc], mean2[1][jc]))
+            dh, dl = DSC.distance_d_from_cw(h_m, cw_all[jc])
         else:
             cmean = mean_f32[jc]
             cw = jnp.floor(cmean)
@@ -227,6 +227,7 @@ class HostBackend:
         self.params = params
         self.align_fn = align_fn   # (center, idx_array) -> identities
         self._align_cache: Dict[Tuple[int, int], float] = {}
+        self.phase_b = False       # see AlignBackend.phase_b (clone quirk)
 
     def _raw_cache(self, center: int, window: np.ndarray) -> np.ndarray:
         """[W, S] raw single values for candidate rows vs the center."""
@@ -280,6 +281,14 @@ class HostBackend:
             else:
                 missing.append(w)
         if missing:
+            if self.phase_b:
+                # reference phase-B clone quirk: an unmemoized pair aligns
+                # against the clone's EMPTY data_str -> identity 0
+                for w in missing:
+                    key = (min(center, int(window[w])),
+                           max(center, int(window[w])))
+                    self._align_cache[key] = 0.0
+                return out
             vals = self.align_fn(center, window[missing])
             for w, v in zip(missing, vals):
                 key = (min(center, int(window[w])), max(center, int(window[w])))
@@ -664,7 +673,7 @@ class DeviceBackend:
                 #     (d_hi, d_lo, global pool pos) min, pmin per pass) ----
                 if use_ds:
                     from meshclust_tpu.ops import ds_classify as DSC
-                    mean2 = DSC.mean_pair(sums, counts)
+                    cw_exact_all = DSC.cw_exact(sums, counts)
                 else:
                     mean_f32 = sums / jnp.maximum(counts, 1.0)[:, None]
 
@@ -674,8 +683,8 @@ class DeviceBackend:
                     jc = jnp.clip(assign + o, 0, Cp - 1)
                     h_m = h_m8.astype(jnp.float32)
                     if use_ds:
-                        dh, dl = DSC.distance_d_mean(
-                            h_m, (mean2[0][jc], mean2[1][jc]))
+                        dh, dl = DSC.distance_d_from_cw(
+                            h_m, cw_exact_all[jc])
                     else:
                         cw_all = jnp.floor(mean_f32)
                         cw = cw_all[jc]
@@ -940,6 +949,15 @@ class AlignBackend:
         self.params = params
         self.aligner = aligner
         self.memo = _PairMemo(ps.n)
+        # Phase-B faithfulness switch (set by MeanShift.run after
+        # accumulation): the reference's Center stores a CLONE of the
+        # center point, and DivergencePoint::clone() copies header/id/
+        # histogram but NOT data_str (DivergencePoint.h:37-43) — so every
+        # phase-B Feature::align miss aligns against an EMPTY string and
+        # yields identity 0 (Feature.cpp:222-243 memoizes by id pair, so
+        # pairs computed during phase A keep their true identities).
+        # Align-mode phase B therefore only "sees" phase-A identities.
+        self.phase_b = False
 
     # -- identity plumbing --------------------------------------------------
     def _identities(self, a_idx: np.ndarray, b_idx: np.ndarray) -> np.ndarray:
@@ -948,6 +966,13 @@ class AlignBackend:
         keys = self.memo.key_of(a_idx, b_idx)
         vals, found = self.memo.lookup(keys)
         if not found.all():
+            if self.phase_b:
+                # reference semantics: miss == empty-string alignment -> 0
+                miss_keys = np.unique(keys[~found])
+                self.memo.insert(miss_keys,
+                                 np.zeros(miss_keys.shape[0], np.float64))
+                vals, found = self.memo.lookup(keys)
+                return vals
             # dedup the missing pairs before hitting the aligner
             miss_keys, inv_first = np.unique(keys[~found],
                                              return_index=True)
@@ -982,7 +1007,12 @@ class AlignBackend:
                  ) -> Tuple[np.ndarray, np.ndarray]:
         if window.shape[0] == 0:
             return np.zeros(0, bool), np.zeros(0)
-        ids = self._identities(np.full(window.shape[0], center), window)
+        # (candidate, center) orientation: GlobAlignE identity is
+        # orientation-DEPENDENT (affine tie-breaks change the alignment
+        # length: 146/292 one way, 146/294 the other on a measured pair),
+        # and the reference classifies compute(*pt, *p) with the center
+        # second (Trainer.cpp:88, :341) — round-5 parity find.
+        ids = self._identities(window, np.full(window.shape[0], center))
         return self._score(ids)
 
     def get_close(self, center: int, window: np.ndarray
@@ -1027,7 +1057,9 @@ class AlignBackend:
         if pool_cat.shape[0] == 0:
             return np.full(C, -1, np.int64)
         owner_cat = np.repeat(idxC, sizes)
-        res, _ = self.classify_pairs(center_rows[owner_cat], pool_cat)
+        # (member, center) orientation — Trainer::filter computes
+        # compute(*pt.first, *p) with the center second (Trainer.cpp:341)
+        res, _ = self.classify_pairs(pool_cat, center_rows[owner_cat])
         pos_pool = pool_cat[res]
         pos_owner = owner_cat[res]
         out = np.full(C, -1, np.int64)

@@ -274,6 +274,11 @@ class MeanShift:
             log(f"Accumulated {len(centers)} initial centers")
             if on_accumulated is not None:
                 on_accumulated(centers)
+        # align-mode phase-B clone semantics (see AlignBackend.phase_b):
+        # after accumulation the reference only ever aligns against CLONED
+        # center points whose data_str is empty
+        if hasattr(self.backend, "phase_b"):
+            self.backend.phase_b = True
         import os
         fused = os.environ.get("MESHCLUST_FUSED_PHASEB", "1") == "1"
         if (fused and hasattr(self.backend, "phase_b_loop")

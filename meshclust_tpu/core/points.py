@@ -25,6 +25,30 @@ from meshclust_tpu.ops import histogram as H
 from meshclust_tpu.ops import features as F
 
 
+def _fma_1_minus_sq(frac):
+    """gcc-contracted `1.0 - frac * frac`, i.e. fma(-frac, frac, 1.0):
+    ONE rounding of (1 - frac^2) instead of two.
+
+    The reference is compiled -O3 (-ffp-contract=fast), so
+    DivergencePoint::distance truncates 10000 * fma(-frac, frac, 1.0)
+    (DivergencePoint.cpp:79-81) — for dist=462, mag=600 that is 4070,
+    while the naive two-rounding form gives 4071; four such keys
+    reordered a 20k pivot sort and changed one sampled training pair
+    (round-5 parity find). Emulated in vectorized f64 with a Dekker
+    two_prod residual; exact up to a ~2^-107 tie that integer-ratio
+    fracs (denominator < 2^24) cannot produce."""
+    frac = np.asarray(frac, np.float64)
+    p = frac * frac
+    split = np.float64((1 << 27) + 1)
+    c = split * frac
+    hi = c - (c - frac)
+    lo = frac - hi
+    e = ((hi * hi - p) + 2.0 * hi * lo) + lo * lo   # p + e == frac^2
+    t = 1.0 - p
+    terr = (1.0 - t) - p                            # exact residual
+    return t + (terr - e)
+
+
 @dataclasses.dataclass
 class PointSet:
     hist: Optional[np.ndarray]        # host histogram (lazy when on-device)
@@ -76,8 +100,8 @@ class PointSet:
         dist = 2 * int(np.minimum(self.hist[i], self.hist[j])
                        .astype(np.int64).sum())
         mag = int(self.mag[i] + self.mag[j])
-        frac = float(dist) / float(mag)
-        return int(10000.0 * (1.0 - frac * frac))
+        frac = np.float64(dist) / np.float64(mag)
+        return int(10000.0 * _fma_1_minus_sq(frac))
 
     def distance_row(self, i: int) -> np.ndarray:
         """distance(i, :) vectorized (float64 frac, truncated to int)."""
@@ -85,7 +109,7 @@ class PointSet:
             .astype(np.int64).sum(axis=1)
         mag = (self.mag[i] + self.mag).astype(np.float64)
         frac = dist.astype(np.float64) / mag
-        return (10000.0 * (1.0 - frac * frac)).astype(np.uint64)
+        return (10000.0 * _fma_1_minus_sq(frac)).astype(np.uint64)
 
     # -- cached device copies (shared by trainer + classify backends) ------
     def device_arrays(self) -> dict:
@@ -108,28 +132,52 @@ class PointSet:
         return self._dev
 
     def distance_rows_device(self, rows: np.ndarray) -> np.ndarray:
-        """DivergencePoint::distance for [P] pivots vs all points, on
-        device. Double-single arithmetic (ops/ds.py) where the integer
-        stats are f32-exact, so the floored distances — and therefore the
-        pivot sort orders that pick the training pairs — equal the
-        reference's double/uint64 values; plain f32 otherwise."""
-        if not hasattr(self, "_distfn"):
-            from meshclust_tpu.ops import ds as _ds
-            use_ds = _ds.ds_inputs_exact(int(self.mag.max()),
-                                         int(self.sq.max()))
-            self._distfn = _get_distfn(use_ds)
-        dev = self.device_arrays()
-        # distances are integers in [0, 10000]: ship int16 (4x less D2H
-        # over the tunnel) and fetch all chunks in ONE readback
+        """DivergencePoint::distance for [P] pivots vs all points.
+
+        Where the integer statistics are f32-exact, the DEVICE computes
+        only the exact integer Manhattan row sums; the frac division,
+        10000*(1-frac^2), and the truncating uint cast run on the HOST in
+        real float64 — bit-identical to `distance_row` and to the
+        reference's double path (DivergencePoint.cpp:68-81) by
+        construction. (The previous double-single device readout was
+        ~2^-44-accurate, which flipped the trailing floor near integer
+        values and changed pivot sort orders — 41/1458 training pairs
+        diverged at 20k; round-5 parity find.) Non-exact regimes keep the
+        plain-f32 device fallback (documented drift)."""
+        from meshclust_tpu.ops import ds as _ds
+        exact = _ds.ds_inputs_exact(int(self.mag.max()),
+                                    int(self.sq.max()))
         import jax.numpy as jnp
+        dev = self.device_arrays()
+        if not exact:
+            if not hasattr(self, "_distfn"):
+                self._distfn = _get_distfn(False)
+            parts = []
+            for s in range(0, rows.shape[0], 64):
+                chunk = rows[s: s + 64]
+                parts.append(self._distfn(
+                    dev["hist"], dev["mag"],
+                    chunk.astype(np.int32)).astype(jnp.int16))
+            stacked = parts[0] if len(parts) == 1 else jnp.concatenate(
+                parts)
+            return np.asarray(stacked).astype(np.int64)
+        if not hasattr(self, "_manfn"):
+            self._manfn = _get_manfn()
+        # man <= mag_i + mag_j: ship int16 when it fits (4x less D2H over
+        # the tunnel), fetched in ONE readback
+        narrow = 2 * int(self.mag.max()) < (1 << 15)
         parts = []
         for s in range(0, rows.shape[0], 64):
             chunk = rows[s: s + 64]
-            parts.append(self._distfn(
-                dev["hist"], dev["mag"],
-                chunk.astype(np.int32)).astype(jnp.int16))
+            man = self._manfn(dev["hist"], chunk.astype(np.int32))
+            parts.append(man.astype(jnp.int16) if narrow else man)
         stacked = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        return np.asarray(stacked).astype(np.int64)
+        man = np.asarray(stacked).astype(np.float64)
+        msum = (self.mag[rows][:, None] + self.mag[None, :]).astype(
+            np.float64)
+        frac = (msum - man) / msum
+        return (10000.0 * _fma_1_minus_sq(frac)).astype(np.uint64)\
+            .astype(np.int64)
 
 
 def _make_distfn(use_ds: bool):
@@ -151,7 +199,11 @@ def _make_distfn(use_ds: bool):
                           ds.wrap(msum))
             one = ds.wrap(jnp.ones_like(frac[0]))
             d = ds.scale(ds.sub(one, ds.mul(frac, frac)), 10000.0)
-            return ds.floor(d)[0]
+            # d >= 0 mathematically (dist <= msum). The TPU divide is not
+            # correctly rounded, so for IDENTICAL rows (frac exactly 1)
+            # the DS value can land a hair below 0 and floor to -1; clamp
+            # to the true lower bound before flooring.
+            return jnp.maximum(ds.floor(d)[0], 0.0)
         frac = (msum - man) / msum                   # 2*min_sum/msum
         return jnp.floor(10000.0 * (1.0 - frac * frac))
 
@@ -165,6 +217,30 @@ def _get_distfn(use_ds: bool):
     if use_ds not in _DISTFN:
         _DISTFN[use_ds] = _make_distfn(use_ds)
     return _DISTFN[use_ds]
+
+
+def _make_manfn():
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def manfn(hist, rows):
+        hist = hist.astype(jnp.float32)
+        h = hist[rows]                               # [P, V]
+        man = jnp.sum(jnp.abs(h[:, None, :] - hist[None, :, :]),
+                      axis=-1)                       # [P, N] exact ints
+        return man.astype(jnp.int32)
+
+    return manfn
+
+
+_MANFN: list = []
+
+
+def _get_manfn():
+    if not _MANFN:
+        _MANFN.append(_make_manfn())
+    return _MANFN[0]
 
 
 def build_points(seqs: List[fio.Sequence], k: int,

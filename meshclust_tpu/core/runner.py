@@ -105,7 +105,10 @@ def _run(cfg: ClusterConfig) -> dict:
     params = model.params
 
     def align_fn(center: int, idxs: np.ndarray) -> np.ndarray:
-        return aligner.identities([(center, int(j)) for j in idxs])
+        # (candidate, center) orientation — GlobAlignE identity depends on
+        # operand order via gap tie-breaks; the reference's classify sites
+        # put the center SECOND (Trainer.cpp:88,:150,:341)
+        return aligner.identities([(int(j), center) for j in idxs])
 
     backend = C.make_backend(ps, params, align_fn=align_fn, exact=cfg.exact,
                              mesh=mesh, aligner=aligner)

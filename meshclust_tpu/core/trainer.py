@@ -19,6 +19,7 @@ All scalar arithmetic reproduces the reference's integer/double semantics
 from __future__ import annotations
 
 import math
+import os
 import sys
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -87,11 +88,18 @@ class Trainer:
         dev = ps.device_arrays()
         P = rows.shape[0]
         order_rows = []
-        if not hasattr(ps, "_distfn"):
-            ps.distance_rows_device(rows[:1])  # builds ps._distfn
+        if not hasattr(ps, "_pivot_distfn"):
+            # device-resident sort keys for the beyond-REFSORT_MAX path:
+            # DS keys where inputs are exact (ties may still order
+            # differently from f64 near integer floors — documented
+            # drift for this regime), plain f32 otherwise
+            from meshclust_tpu.core.points import _get_distfn
+            from meshclust_tpu.ops import ds as _ds
+            ps._pivot_distfn = _get_distfn(_ds.ds_inputs_exact(
+                int(ps.mag.max()), int(ps.sq.max())))
         for s in range(0, P, 16):
             chunk = jnp.asarray(rows[s: s + 16].astype(np.int32))
-            d = ps._distfn(dev["hist"], dev["mag"], chunk)
+            d = ps._pivot_distfn(dev["hist"], dev["mag"], chunk)
             order_rows.append(jnp.argsort(d, axis=1, stable=True)
                               .astype(jnp.int32))
         orders_dev = jnp.concatenate(order_rows, axis=0)
@@ -475,6 +483,14 @@ class Trainer:
         log("Splitting data")
         data = self.split()
         bp, bn = self.get_labels(data)
+        dump = os.environ.get("MESHCLUST_DEBUG_DUMP")
+        if dump:
+            for name, lst in (("pos", bp), ("neg", bn)):
+                with open(f"{dump}_{name}.txt", "w") as fdbg:
+                    for (pr, algn) in lst:
+                        fdbg.write(f"{self.ps.headers[pr[0]]} "
+                                   f"{self.ps.headers[pr[1]]} "
+                                   f"{float(algn).hex()}\n")
         train_pos, test_pos = bin_data(bp, self.cutoff, 1.0)
         train_neg, test_neg = bin_data(bn, 0.0, self.cutoff)
         log(f"training positive: {len(train_pos)}")
@@ -506,6 +522,20 @@ class Trainer:
             yte = np.concatenate([np.ones(len(test_pos)),
                                   -np.ones(len(test_neg))])
             weights = glm.train(Xtr, ytr)
+            dump = os.environ.get("MESHCLUST_DEBUG_DUMP")
+            if dump:
+                # bit-exact (hex float) dump of the training matrix,
+                # labels, and fitted weights — parity triage vs the same
+                # dump patched into the reference (PARITY round 5)
+                with open(f"{dump}_feat{num_features}.txt", "w") as fdbg:
+                    fdbg.write(f"X {Xtr.shape[0]} {Xtr.shape[1]}\n")
+                    for r in range(Xtr.shape[0]):
+                        fdbg.write(" ".join(
+                            float(v).hex() for v in Xtr[r])
+                            + f" {float(ytr[r]).hex()}\n")
+                    fdbg.write("W\n")
+                    for v in weights:
+                        fdbg.write(f"{float(v).hex()}\n")
             pte = np.where(glm.predict(Xte, weights) == 1, 1, -1)
             acc, sens, spec = glm.accuracy(yte, pte)
             log(f"Accuracy: {acc:.4g}% Sensitivity: {sens:.4g}% "

@@ -192,12 +192,21 @@ class DeviceAligner:
         self.lengths = np.asarray([len(c) for c in codes], np.int64)
         self.match, self.mismatch, self.go, self.gc = match, mismatch, go, gc
         if stage_mb is None:
-            # v5e has 16 GB HBM; a 1M x ~1.2kb corpus stages in ~1.2 GB and
-            # staging is what keeps identities() off the host-packed path
+            # Staging is what keeps identities() off the host-packed path
             # (~150x slower per pair at 1M scale: Python operand packing +
-            # full-operand tunnel shipping per batch)
+            # full-operand tunnel shipping per batch). Budget ~40% of the
+            # detected device memory (6144 MB on a 16 GB v5e) so a
+            # smaller-HBM accelerator falls back instead of OOMing
+            # (round-4 advice).
+            default_mb = 6144
+            try:
+                stats = jax.devices()[0].memory_stats()
+                if stats and stats.get("bytes_limit"):
+                    default_mb = int(stats["bytes_limit"] * 0.4 / 2**20)
+            except Exception:
+                pass
             stage_mb = int(os.environ.get("MESHCLUST_ALIGN_STAGE_MB",
-                                          "6144"))
+                                          str(default_mb)))
         self.stage_mb = stage_mb
         self._staged = None     # (codes_dev [N, Lpad] int8, Lpad)
 

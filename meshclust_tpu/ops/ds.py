@@ -181,5 +181,11 @@ def to_f64(x) -> np.ndarray:
 def ds_inputs_exact(max_mag: int, max_sq: int) -> bool:
     """True when every integer statistic the classifier consumes fits
     exactly in f32: man <= 2*max_mag, dot <= max_sq (Cauchy-Schwarz with
-    equal bounds), mag/sq themselves."""
+    equal bounds), mag/sq themselves.
+
+    MESHCLUST_FORCE_F32=1 disables the DS path globally (perf experiments
+    only — f32 decisions may flip on ~1e-7-relative boundary ties)."""
+    import os
+    if os.environ.get("MESHCLUST_FORCE_F32") == "1":
+        return False
     return (2 * int(max_mag) < (1 << 24)) and (int(max_sq) < (1 << 24))

@@ -126,25 +126,56 @@ def score(singles: Sequence[int], combos, mins2, spans2, is_sim, weights2,
 
 
 def mean_pair(sums, counts):
-    """DS mean histogram: sums [.., V] integer-valued f32 / counts [..]."""
+    """DS mean histogram: sums [.., V] integer-valued f32 / counts [..].
+
+    WARNING: do NOT floor this pair. The TPU f32 divide is not correctly
+    rounded (reciprocal + one Newton step), so DS.div of an EXACT integer
+    quotient can land ~2^-44 BELOW the integer, and a floor then comes
+    out one too low — measured flipping get_mean winners at 150k (round-5
+    find). Use `cw_exact` + `distance_d_from_cw` for anything floored."""
     c = jnp.maximum(counts, 1.0)
     return ds.div(ds.wrap(sums), ds.wrap(c[..., None]))
 
 
-def distance_d_mean(h, mean2):
-    """distance_d of integer rows h [.., V] vs a DS mean (same shape or
-    broadcastable), per DivergencePoint.cpp:53-65:
-      cw   = trunc(mean)              (per-element)
-      dist = 2 * sum(min(h, cw))
-      mag  = sum(floor(h + mean))
-      d    = 10000 * (1 - (dist/mag)^2)
-    Returns (d_hi, d_lo).
+def cw_exact(sums, counts):
+    """floor(sums/counts) EXACTLY for integer-valued f32 inputs: integer
+    remainder corrections pin the f32 quotient estimate (which may be off
+    by a couple of ulps on TPU) to the true rational floor. Equals the
+    reference's double mean + per-element truncation
+    (DivergencePoint.cpp:53-65): a f64 quotient of ints with denominator
+    < 2^24 never rounds across an integer."""
+    c = jnp.maximum(counts, 1.0)
+    s_i = sums.astype(jnp.int32)
+    c_i = c.astype(jnp.int32)[..., None]
+    q = jnp.floor(sums / c[..., None]).astype(jnp.int32)
+    for _ in range(2):      # quotient estimate can be ~2 units off at 2^23
+        r = s_i - q * c_i
+        q = jnp.where(r < 0, q - 1, q)
+        r = s_i - q * c_i
+        q = jnp.where(r >= c_i, q + 1, q)
+    return q.astype(jnp.float32)
 
-    The mean is a rational p/q with q < 2^24, so it is either exactly an
-    integer or >= 2^-24 from one — both the f64 and the ~2^-48 DS floors
-    agree with the exact rational floor, making this bit-faithful to the
-    reference's double path."""
-    cw = ds.floor(mean2)[0]                    # >= 0, trunc == floor
+
+def distance_d_from_cw(h, cw):
+    """distance_d of integer rows h [.., V] vs an EXACT truncated mean cw
+    (from `cw_exact`), per DivergencePoint.cpp:53-65:
+      dist = 2 * sum(min(h, cw))
+      mag  = sum(floor(h + mean)) = sum(h) + sum(cw)   (h integer)
+      d    = 10000 * (1 - (dist/mag)^2)
+    Returns (d_hi, d_lo). dist/mag are exact ints; only the final
+    frac/d arithmetic is DS (~2^-44 of the real value)."""
+    cw_b = jnp.broadcast_to(cw, h.shape)
+    dist = 2.0 * jnp.sum(jnp.minimum(h, cw_b), axis=-1)
+    mg = jnp.sum(h, axis=-1) + jnp.sum(cw_b, axis=-1)
+    frac = ds.div(ds.wrap(dist), ds.wrap(jnp.maximum(mg, 1.0)))
+    one = ds.wrap(jnp.ones_like(frac[0]))
+    return ds.scale(ds.sub(one, ds.mul(frac, frac)), 10000.0)
+
+
+def distance_d_mean(h, mean2):
+    """DEPRECATED shim (see mean_pair warning): kept only for callers
+    that already hold a DS mean with no integer provenance."""
+    cw = ds.floor(mean2)[0]
     dist = 2.0 * jnp.sum(jnp.minimum(h, jnp.broadcast_to(cw, h.shape)),
                          axis=-1)
     fl = ds.floor(ds.add(ds.wrap(h), (jnp.broadcast_to(mean2[0], h.shape),
@@ -156,5 +187,5 @@ def distance_d_mean(h, mean2):
 
 
 def distance_d(h, mean_sum, count):
-    """distance_d vs the mean mean_sum/count (see distance_d_mean)."""
-    return distance_d_mean(h, mean_pair(mean_sum, count))
+    """distance_d vs the mean mean_sum/count, exact-cw path."""
+    return distance_d_from_cw(h, cw_exact(mean_sum, count))

@@ -87,3 +87,60 @@ def test_device_accumulate_with_compaction_matches_host(rng, monkeypatch):
     for cd, ch in zip(centers_dev, centers_host):
         assert cd.center == ch.center
         assert cd.members == ch.members
+
+
+@pytest.mark.parametrize("seed2", [11, 12])
+def test_certified_mode_equals_ds_mode(rng, seed2, monkeypatch):
+    """'cert' (certified f32 + DS fallback conds) must reproduce the 'ds'
+    (always double-single) partition bit-for-bit — same owners, stamps,
+    centers — on corpora with duplicate sequences and near-boundary
+    pairs."""
+    import numpy as np
+    r = np.random.default_rng(seed2)
+    ps = _pointset(r, n_species=6, per=9, length=350, rate=0.08)
+    params = _params(ps)
+    from meshclust_tpu.core.accumulate_device import accumulate_device
+
+    monkeypatch.setenv("MESHCLUST_EXACT_MODE", "ds")
+    centers_ds = accumulate_device(ps, _fresh_bv(ps), params, 0.90)
+    monkeypatch.setenv("MESHCLUST_EXACT_MODE", "cert")
+    centers_ct = accumulate_device(ps, _fresh_bv(ps), params, 0.90)
+
+    assert len(centers_ds) == len(centers_ct)
+    for cd, cc in zip(centers_ds, centers_ct):
+        assert cd.center == cc.center
+        assert cd.members == cc.members
+
+
+def test_certified_mode_with_duplicates(rng, monkeypatch):
+    """Exact duplicate sequences tie every statistic; the cert path must
+    break ties like ds (first in insertion order) WITHOUT firing the DS
+    fallback for the duplicate-only ties."""
+    import numpy as np
+    from meshclust_tpu.io import fasta
+    from meshclust_tpu.core.points import build_points
+    from meshclust_tpu.utils import perf
+    r = np.random.default_rng(99)
+    seqs = []
+    for s in range(4):
+        base = random_dna(r, 300)
+        for c in range(8):
+            # half the members are exact duplicates of the seed
+            seq = base if c % 2 == 0 else mutate(r, base, 0.05)
+            seqs.append(fasta.encode_record(f">sp{s}_c{c}", seq.encode()))
+    order = r.permutation(len(seqs))
+    ps = build_points([seqs[i] for i in order], k=4, use_pallas=False)
+    params = _params(ps)
+    from meshclust_tpu.core.accumulate_device import accumulate_device
+
+    monkeypatch.setenv("MESHCLUST_EXACT_MODE", "ds")
+    centers_ds = accumulate_device(ps, _fresh_bv(ps), params, 0.90)
+    monkeypatch.setenv("MESHCLUST_EXACT_MODE", "cert")
+    perf.reset()
+    centers_ct = accumulate_device(ps, _fresh_bv(ps), params, 0.90)
+    fb = perf.counters()
+    for cd, cc in zip(centers_ds, centers_ct):
+        assert cd.center == cc.center
+        assert cd.members == cc.members
+    # duplicates alone must not trigger argmin fallbacks
+    assert fb.get("accum_fb_argmin", 0) == 0

@@ -85,7 +85,10 @@ def test_align_backend_matches_host(rng):
     aligner = DeviceAligner(ps.codes)
 
     def align_fn(center, idxs):
-        return aligner.identities([(center, int(j)) for j in idxs])
+        # (candidate, center) orientation — GlobAlignE identity is
+        # orientation-dependent; matches runner.align_fn and the
+        # reference's compute(*pt, *p) sites (Trainer.cpp:88,:341)
+        return aligner.identities([(int(j), center) for j in idxs])
 
     ab = AlignBackend(ps, params, aligner)
     hb = HostBackend(ps, params, align_fn=align_fn)

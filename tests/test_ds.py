@@ -141,10 +141,32 @@ def test_ds_distance_matches_mean_select(rng):
     d64 = 10000.0 * (1.0 - frac * frac)
 
     sums = jnp.asarray(h.sum(axis=0), jnp.float32)
-    mean2 = DSC.mean_pair(sums, jnp.float32(M))
-    dh, dl = DSC.distance_d_mean(jnp.asarray(h, jnp.float32),
-                                 (mean2[0][None, :], mean2[1][None, :]))
+    cwe = DSC.cw_exact(sums, jnp.float32(M))
+    dh, dl = DSC.distance_d_from_cw(jnp.asarray(h, jnp.float32),
+                                    cwe[None, :])
     dds = np.asarray(dh, np.float64) + np.asarray(dl, np.float64)
     np.testing.assert_allclose(dds, d64, rtol=1e-11, atol=1e-11)
     # argmin (the decision) must agree exactly
     assert int(np.argmin(dds)) == int(np.argmin(d64))
+
+
+def test_cw_exact_at_integer_means(rng):
+    """Exact-integer lane means are the adversarial case: the TPU f32
+    divide (reciprocal-based) can land ~2^-44 BELOW an exact integer
+    quotient, and a naive DS floor then comes out one low — the round-5
+    bug that flipped get_mean winners at 150k. cw_exact must pin every
+    lane to the true rational floor."""
+    for cnt in (7, 98, 1000, 16383):
+        V = 128
+        q_true = rng.integers(0, 200, V).astype(np.int64)
+        rem = rng.integers(0, cnt, V).astype(np.int64)
+        rem[::3] = 0                      # a third exactly divisible
+        sums = q_true * cnt + rem
+        cw = np.asarray(DSC.cw_exact(jnp.asarray(sums, jnp.float32),
+                                     jnp.float32(cnt)))
+        np.testing.assert_array_equal(cw.astype(np.int64), sums // cnt)
+    # large-quotient regime (quotient near 2^23 / count 1)
+    sums = (np.arange(100) + (1 << 23) - 50).astype(np.int64)
+    cw = np.asarray(DSC.cw_exact(jnp.asarray(sums, jnp.float32),
+                                 jnp.float32(1.0)))
+    np.testing.assert_array_equal(cw.astype(np.int64), sums)
