@@ -290,7 +290,8 @@ def _perf_row(name, n, wall_s, rep, cold_s=None, published_s=None):
         row["cold_wall_s"] = round(cold_s, 3)
     if published_s is not None:
         row["vs_published_ref"] = round(published_s / wall_s, 3)
-    for key in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s"):
+    for key in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s",
+                "accum_gbps", "accum_hbm_util_est"):
         if key in rep:
             row[key] = float(f"{rep[key]:.4g}")
     for key in ("nw_cells", "nw_pairs"):

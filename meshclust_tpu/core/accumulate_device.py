@@ -154,21 +154,6 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
         len_i = len_s.astype(i32)
         t_ar = jnp.arange(T, dtype=i32)
 
-        def kth_active(qext, k):
-            """Slot index of the k-th (0-based) active slot; N if none."""
-            s = jnp.searchsorted(qext, k + 1, side="left") - 1
-            return jnp.where(k < qext[N], s, N).astype(i32)
-
-        def rank_to_slot(qext, ranks):
-            """Vectorized kth_active for a [T] rank tile (invalid -> N)."""
-            s = jnp.searchsorted(qext, ranks + 1, side="left") - 1
-            return jnp.where(ranks < qext[N], s, N).astype(i32)
-
-        def live_bounds(qext):
-            """(first live slot per bin or N, live counts per bin)."""
-            cnt = qext[bin_end] - qext[bin_start]
-            return cnt.astype(i32)
-
         def index_of(length):
             """bvec::index_of (low, high) over begin_bounds."""
             bb = begin_bounds
@@ -182,9 +167,24 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                              jnp.maximum(high, nbins - 1), high)
             return low.astype(i32), high.astype(i32)
 
-        def window_bounds(length, qext, live_cnt):
+        def window_bounds(length, active):
             """Absolute inclusive slot range [w0, w1] of get_range(
-            length*sim, length/sim) on the live structure."""
+            length*sim, length/sim) on the live structure — pure masked
+            min/max reductions (the round-4 version maintained a live-rank
+            cumsum + binary searches per iteration, ~25% of the absorb
+            iteration wall; lengths are globally sorted over slots so every
+            bvec::inner_index_of case collapses to a first/last live slot
+            under a mask; semantics cross-checked against the host bvec
+            emulation by tests/test_accum_device.py and the golden table).
+
+            Cases (bvec.cpp:52-120,246-278):
+              front: first live slot of the front bin with len >= lo;
+                     none -> LAST live slot of that bin; empty bin ->
+                     first live slot overall (first non-empty bin).
+              back:  last live slot of the back bin with len == hi; else
+                     first live slot with len > hi; else last live slot;
+                     empty bin -> FIRST live slot of the LAST non-empty
+                     bin (the truncation quirk)."""
             lo = jnp.floor(
                 length.astype(jnp.float32) * jnp.float32(sim)).astype(i32)
             hi = jnp.floor(
@@ -192,54 +192,32 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             fbin = index_of(lo)[0]
             bbin = index_of(hi)[1]
 
-            any_live = jnp.any(live_cnt > 0)
-            # ---- front side
-            def front_nonempty(b):
-                bs, be = bin_start[b], bin_end[b]
-                sz = live_cnt[b]
-                l0 = len_i[kth_active(qext, qext[bs])]
-                # lower_bound among live of bin b for lo:
-                t = jnp.clip(jnp.searchsorted(len_i, lo, side="left"),
-                             bs, be).astype(i32)
-                lb = qext[t] - qext[bs]          # live rank
-                inner = jnp.where(lo < l0, 0,
-                                  jnp.minimum(lb, sz - 1))
-                return kth_active(qext, qext[bs] + inner)
+            act_min = jnp.where(active, slots_i, N)
+            act_max = jnp.where(active, slots_i, -1)
+            glob_first = jnp.min(act_min)
+            glob_last = jnp.max(act_max)
+            any_live = glob_last >= 0
 
-            def first_nonempty_bin():
-                ok = live_cnt > 0
-                b = jnp.argmax(ok)               # first non-empty
-                return kth_active(qext, qext[bin_start[b]])
+            bf = active & (bin_of == fbin)
+            s_ge = jnp.min(jnp.where(bf & (len_i >= lo), slots_i, N))
+            s_last_f = jnp.max(jnp.where(bf, slots_i, -1))
+            w0_main = jnp.where(s_ge < N, s_ge, s_last_f)
+            w0 = jnp.where(s_last_f >= 0, w0_main,
+                           jnp.where(any_live, glob_first, i32(N)))
 
-            w0 = jnp.where(
-                live_cnt[fbin] > 0, front_nonempty(fbin),
-                jnp.where(any_live, first_nonempty_bin(), i32(N)))
-
-            # ---- back side
-            def back_nonempty(b):
-                bs, be = bin_start[b], bin_end[b]
-                sz = live_cnt[b]
-                llast = len_i[kth_active(qext, qext[be] - 1)]
-                tl = jnp.clip(jnp.searchsorted(len_i, hi, side="left"),
-                              bs, be).astype(i32)
-                tu = jnp.clip(jnp.searchsorted(len_i, hi, side="right"),
-                              bs, be).astype(i32)
-                lb = qext[tl] - qext[bs]
-                ub = qext[tu] - qext[bs]
-                found = ub > lb
-                inner = jnp.where(hi > llast, sz - 1,
-                                  jnp.where(found, ub - 1,
-                                            jnp.minimum(lb, sz - 1)))
-                return kth_active(qext, qext[bs] + inner)
-
-            def last_nonempty_first_slot():
-                ok = live_cnt > 0
-                b = nbins - 1 - jnp.argmax(ok[::-1])   # last non-empty
-                return kth_active(qext, qext[bin_start[b]])
-
-            w1 = jnp.where(
-                live_cnt[bbin] > 0, back_nonempty(bbin),
-                jnp.where(any_live, last_nonempty_first_slot(), i32(-1)))
+            bb_ = active & (bin_of == bbin)
+            s_eq_last = jnp.max(jnp.where(bb_ & (len_i == hi),
+                                          slots_i, -1))
+            s_gt = jnp.min(jnp.where(bb_ & (len_i > hi), slots_i, N))
+            s_last_b = jnp.max(jnp.where(bb_, slots_i, -1))
+            w1_main = jnp.where(
+                s_eq_last >= 0, s_eq_last,
+                jnp.where(s_gt < N, s_gt, s_last_b))
+            b_star = bin_of[jnp.clip(glob_last, 0, N - 1)]
+            first_of_last = jnp.min(jnp.where(
+                active & (bin_of == b_star), slots_i, N))
+            w1 = jnp.where(s_last_b >= 0, w1_main,
+                           jnp.where(any_live, first_of_last, i32(-1)))
             return w0, w1
 
         slots_f = jnp.arange(N, dtype=jnp.float32)
@@ -310,22 +288,26 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             owner = jnp.where(pos, c, owner)
             stamp = jnp.where(pos, t, stamp)
             active = active & ~pos
-            posf = pos.astype(jnp.float32)
-            npos = jnp.sum(posf)
-            # [1,N]x[N,V] matvec: exact integer f32 accumulation on the MXU.
-            # NOT wrapped in lax.cond: a cond branch capturing h_f forces
-            # the u8->f32 convert to materialize as a 1 GB branch operand at
-            # 1M x 256 (measured +50s over a run); unconditional, the
-            # convert fuses into the dot.
+            npos_i = jnp.sum(pos, dtype=i32)
+            # [1,N]x[N,V] matvec: exact integer f32 accumulation on the
+            # MXU. NOT wrapped in lax.cond: a cond branch capturing h_f
+            # forces the u8->f32 convert to materialize as a 1 GB branch
+            # operand at 1M x 256 (measured +50s over a run);
+            # unconditional, the convert fuses into the dot. (A round-5
+            # experiment replaced this + the argmin sweep with an
+            # incrementally-scattered member list; TPU scatter runs ~9 ns
+            # per index — 1.4 ms/iteration at 150k — and top_k/nonzero
+            # compaction is no cheaper, so full-array passes win.)
             sumvec = sumvec + jax.lax.dot_general(
-                posf[None, :], h_f, (((1,), (0,)), ((), ())),
+                pos.astype(jnp.float32)[None, :], h_f,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)[0]
-            count = count + npos
+            count = count + npos_i.astype(jnp.float32)
             # exactness telemetry: per-lane cluster sums must stay < 2^24
             # for the integer-f32 accumulation (and the DS/cert mean) to
             # be exact; the driver warns if this ever trips (ADVICE r4).
             nfb = nfb.at[3].max(jnp.max(sumvec).astype(i32))
-            any_pos = npos > 0
+            any_pos = npos_i > 0
             if mode == "cert":
                 def certified_best(nfb):
                     f1m = jnp.where(ok, f1, -INF)
@@ -445,11 +427,8 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             if "nowin" in dbg:
                 w0, w1 = i32(0), i32(N - 1)
             else:
-                qext = jnp.concatenate(
-                    [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
-                live_cnt = live_bounds(qext)
                 length = len_i[last_slot]
-                w0, w1 = window_bounds(length, qext, live_cnt)
+                w0, w1 = window_bounds(length, active)
             (owner, stamp, active, sumvec, count, best,
              any_pos, nfb) = classify_full(
                 w0, w1, last_slot, owner, stamp, active, sumvec, count,
@@ -488,9 +467,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                 return best, active.at[best].set(False)
 
             def from_pop(_):
-                qext = jnp.concatenate(
-                    [jnp.zeros(1, i32), jnp.cumsum(active.astype(i32))])
-                s = kth_active(qext, 0)
+                s = jnp.min(jnp.where(active, slots_i, i32(N)))
                 return s, active.at[s].set(False, mode="drop")
 
             next_seed, active = jax.lax.cond(best >= 0, from_best,
@@ -606,6 +583,7 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     from meshclust_tpu.utils.progress import Progress
     prog = Progress(N + 1, "Accumulation")
     n_done_prev = 0
+    t_prev = 0
     # [score_fb, best_fb, argmin_fb, max per-lane cluster sum]
     nfb = jnp.zeros(4, i32)
     while True:
@@ -622,6 +600,13 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
         n_done = N - (live + 1)
         prog += max(0, n_done - n_done_prev)
         n_done_prev = max(n_done_prev, n_done)
+        # roofline accounting: every absorb iteration streams the bucket's
+        # u8 histogram ~2.7x (classify read + sumvec matvec + argmin on
+        # ~70% of iterations); perf reports achieved vs HBM bandwidth
+        from meshclust_tpu.utils import perf as _perf
+        _perf.add("accum_sweep_bytes",
+                  2.7 * float(int(t) - t_prev) * Nb * ps.V)
+        t_prev = int(t)
         if bool(done):
             break
         target = max(min_bucket, 1 << (live + 1).bit_length())

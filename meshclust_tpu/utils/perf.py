@@ -81,6 +81,14 @@ def report() -> dict:
     rows = _counters.get("classify_rows", 0.0)
     if cls_s > 0 and rows > 0:
         out["classify_rows_per_s"] = rows / cls_s
+    # Phase-A roofline: achieved HBM streaming rate of the absorb sweeps
+    # vs the chip's ~819 GB/s (v5e). The sweep passes are u8 reads fused
+    # with f32 compute, so bytes/s IS the roofline axis.
+    acc_s = _phase_s.get("accumulate", 0.0)
+    sweep_b = _counters.get("accum_sweep_bytes", 0.0)
+    if acc_s > 0 and sweep_b > 0:
+        out["accum_gbps"] = sweep_b / acc_s / 1e9
+        out["accum_hbm_util_est"] = sweep_b / acc_s / 819e9
     return out
 
 
@@ -91,7 +99,8 @@ def format_report() -> str:
         lines.append(f"  phase {k:<14s} {v:8.2f}s  x{r['phase_calls'][k]}")
     for k, v in sorted(r["counters"].items()):
         lines.append(f"  counter {k:<18s} {v:.3g}")
-    for k in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s"):
+    for k in ("nw_cells_per_s", "nw_vpu_util_est", "classify_rows_per_s",
+              "accum_gbps", "accum_hbm_util_est"):
         if k in r:
             lines.append(f"  {k}: {r[k]:.3g}")
     return "\n".join(lines)

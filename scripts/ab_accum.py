@@ -52,5 +52,42 @@ def main():
     print("f32 == ds partitions:", sigs["f32"] == sigs["ds"])
 
 
+
+
+# ablation mode: scripts/ab_accum.py <fasta> dbg
+def ablate():
+    fasta = sys.argv[1]
+    AD.accumulate_device = spy
+    from meshclust_tpu.config import ClusterConfig
+    from meshclust_tpu.core import runner
+    runner.run(ClusterConfig(files=[fasta], output="/tmp/ab.clstr",
+                             similarity=0.90))
+    ps = captured["ps"]
+    params = captured["params"]
+    from meshclust_tpu.core.bvec import BVec
+
+    def once():
+        bv = BVec(ps.lengths.copy(), 1000)
+        bv.bulk_insert(ps.lengths)
+        bv.insert_finalize()
+        t0 = time.time()
+        orig_acc(ps, bv, params, 0.90)
+        return time.time() - t0
+
+    os.environ["MESHCLUST_EXACT_MODE"] = "cert"
+    for dbg in ("", "nowin", "noargmin", "nobest", "nowin,noargmin,nobest"):
+        os.environ["MESHCLUST_ACCUM_DBG"] = dbg
+        once()
+        ts = [once() for _ in range(3)]
+        print(f"dbg={dbg or 'none':28s} min {min(ts):.2f}s", flush=True)
+
+
+if __name__ == "__main__" and len(sys.argv) > 2 and sys.argv[2] == "dbg":
+    ablate()
+    sys.exit(0)
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 2 and sys.argv[2] == "dbg":
+        ablate()
+    else:
+        main()
