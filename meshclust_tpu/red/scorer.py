@@ -16,17 +16,21 @@ from meshclust_tpu.io import fasta as fio
 
 def score_chromosome(seq: fio.Sequence, table: np.ndarray, k: int
                      ) -> np.ndarray:
+    """Whole-chromosome vectorized scoring (one rolling-id pass + one table
+    gather); the per-segment loop only patches the k-1 tail positions and
+    the short-segment cascade (reference Scorer.cpp:36-66 semantics)."""
+    from meshclust_tpu.red.emv import rolling_ids, valid_mask
+
     scores = np.zeros(seq.length, np.int64)
-    codes = seq.codes.astype(np.int64)
-    powers = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    ids, ok = rolling_ids(seq.codes, valid_mask(seq), k)
+    if ids.shape[0]:
+        sel = np.where(ok)[0]
+        scores[sel] = table[ids[sel]]
     for a, b in seq.segments:
-        seg = codes[a: b + 1]
-        n = seg.shape[0] - k + 1
+        n = b - a + 1 - k + 1
         if n > 0:
-            ids = np.zeros(n, np.int64)
-            for d in range(k):
-                ids += seg[d: d + n] * powers[d]
-            scores[a: a + n] = table[ids]
+            # positions a..a+n-1 came from the gather; the last k-1
+            # positions of the segment repeat the previous value
             scores[a + n: b + 1] = scores[a + n - 1]
         else:
             # segment shorter than k: reference reads the previous value

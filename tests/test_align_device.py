@@ -98,3 +98,46 @@ def test_device_aligner_cpu_fallback(rng):
     for t, (ia, ib) in enumerate(pairs):
         _, el, em, _ = ref_impl.glob_align(codes[ia], codes[ib])
         assert abs(got[t] - em / max(el, 1)) < 1e-12
+
+
+def test_windowed_shrink_stages_match_oracle(rng):
+    """Long and length-asymmetric pairs drive the row-windowed kernel
+    (ops/align_window.py) through its shrink stages and the w0 clamp; every
+    lane must still match the scalar oracle exactly."""
+    import jax.numpy as jnp
+    # lengths chosen so blocks mix l1 >> l2, l2 >> l1, square, and tiny
+    lens = [200, 190, 60, 12, 150, 199, 30, 180]
+    codes = [_codes(rng, ln, 0.03) for ln in lens]
+    pair_idx = [(i % 8, (i * 3 + 1) % 8) for i in range(AD.LANES)]
+    ops = _pack(codes, pair_idx, 200, 200, 1)
+    alen, amatch = AD._align_packed(
+        *[jnp.asarray(x) for x in ops], G=1, match=1, mismatch=-1, go=2,
+        gc=1, interpret=True)
+    alen = np.asarray(alen)
+    amatch = np.asarray(amatch)
+    seen = set()
+    for t, (ia, ib) in enumerate(pair_idx):
+        if (ia, ib) in seen:
+            continue
+        seen.add((ia, ib))
+        _, el, em, _ = ref_impl.glob_align(codes[ia], codes[ib])
+        assert alen[t] == el and amatch[t] == em, f"pair {t} ({ia},{ib})"
+
+
+def test_windowed_equals_full_kernel(rng, monkeypatch):
+    """Windowed and full-row kernels produce identical (alen, amatch)."""
+    import jax.numpy as jnp
+    codes = [_codes(rng, int(rng.integers(40, 140)), 0.05) for _ in range(20)]
+    pair_idx = [(int(rng.integers(20)), int(rng.integers(20)))
+                for _ in range(AD.LANES)]
+    ops = [jnp.asarray(x) for x in _pack(codes, pair_idx, 144, 144, 1)]
+    kw = dict(G=1, match=1, mismatch=-1, go=2, gc=1, interpret=True)
+    monkeypatch.setenv("MESHCLUST_ALIGN_WINDOWED", "0")
+    AD._align_packed.clear_cache()
+    alen0, am0 = AD._align_packed(*ops, **kw)
+    monkeypatch.setenv("MESHCLUST_ALIGN_WINDOWED", "1")
+    AD._align_packed.clear_cache()
+    alen1, am1 = AD._align_packed(*ops, **kw)
+    AD._align_packed.clear_cache()
+    np.testing.assert_array_equal(np.asarray(alen0), np.asarray(alen1))
+    np.testing.assert_array_equal(np.asarray(am0), np.asarray(am1))
