@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Iterable, List, Optional
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -316,3 +316,43 @@ def in_segment_mask(seq: Sequence) -> np.ndarray:
     for s, e in seq.segments:
         mask[s: e + 1] = True
     return mask
+
+
+def read_fasta_plain(path: str) -> List[Tuple[str, str]]:
+    """Reference `ChromListMaker::makeChromList` semantics
+    (/root/reference/src/nonltr/ChromListMaker.cpp:49-89): the ORIGINAL
+    sequence letters are kept (uppercased at finalize, Chromosome.cpp:105),
+    and a line starting with a space/tab is a HEADER CONTINUATION (appended
+    verbatim to the current header; all-whitespace lines are skipped).  Used
+    by Red's masked-output pass, where original IUPAC letters must survive;
+    the one-digit analysis reader (read_fasta) has no continuation handling,
+    exactly like makeChromOneDigitList.  Returns [(header, seq)] with the
+    header including '>'.
+    """
+    try:
+        with open(path, "rb") as f:
+            data = f.read()
+    except FileNotFoundError as e:
+        raise FileDoesNotExistError(f'File "{path}" does not exist') from e
+    out: List[Tuple[str, str]] = []
+    header: Optional[str] = None
+    chunks: List[bytes] = []
+    for line in data.split(b"\n"):
+        if line.endswith(b"\r"):
+            line = line[:-1]
+        if line.startswith(b">"):
+            if header is not None:
+                out.append((header, b"".join(chunks).upper().decode(
+                    "utf-8", "replace")))
+            header = line.decode("utf-8", "replace")
+            chunks = []
+        elif line[:1] in (b" ", b"\t"):
+            if header is None or not line.strip():
+                continue
+            header += line.decode("utf-8", "replace")
+        elif header is not None:
+            chunks.append(line)
+    if header is not None:
+        out.append((header, b"".join(chunks).upper().decode(
+            "utf-8", "replace")))
+    return out

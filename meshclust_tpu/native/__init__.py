@@ -250,3 +250,58 @@ def ref_sort_perm_batch(idx: np.ndarray, keys: np.ndarray) -> bool:
     k = np.ascontiguousarray(keys, np.int64)
     lib.mc_sort_perm_batch(idx, k, idx.shape[0], idx.shape[1])
     return True
+
+
+# ---------------------------------------------------------------------------
+# Red scanner Viterbi (see red_viterbi.cpp)
+# ---------------------------------------------------------------------------
+_RV_SRC = os.path.join(_DIR, "red_viterbi.cpp")
+_RV_SO = os.path.join(_DIR, "_red_viterbi.so")
+_rv_lib: Optional[ctypes.CDLL] = None
+_rv_failed = False
+
+
+def get_red_viterbi() -> Optional[ctypes.CDLL]:
+    global _rv_lib, _rv_failed
+    if _rv_lib is not None or _rv_failed or not enabled():
+        return _rv_lib
+    with _lock:
+        if _rv_lib is not None or _rv_failed:
+            return _rv_lib
+        try:
+            if _needs_rebuild(_RV_SO, _RV_SRC):
+                tmp = _RV_SO + f".tmp{os.getpid()}"
+                subprocess.run(
+                    ["g++", "-O2", "-std=c++17", "-shared", "-fPIC",
+                     "-o", tmp, _RV_SRC],
+                    check=True, capture_output=True, timeout=120)
+                os.replace(tmp, _RV_SO)
+                _record_srchash(_RV_SO, _RV_SRC)
+            lib = ctypes.CDLL(_RV_SO)
+            i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+            f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+            u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+            lib.mc_red_viterbi.restype = None
+            lib.mc_red_viterbi.argtypes = [i64p, ctypes.c_int64, f64p, f64p,
+                                           ctypes.c_int64, u8p, i64p]
+            _rv_lib = lib
+        except Exception:
+            _rv_failed = True
+    return _rv_lib
+
+
+def red_viterbi(st: np.ndarray, priors: np.ndarray, trans: np.ndarray,
+                npos: int) -> Optional[np.ndarray]:
+    """Native 2-state Viterbi decode; None if unavailable (caller falls
+    back to the numpy scalar loop, which remains the tested oracle)."""
+    lib = get_red_viterbi()
+    if lib is None:
+        return None
+    stc = np.ascontiguousarray(st, np.int64)
+    pr = np.ascontiguousarray(priors, np.float64)
+    tr = np.ascontiguousarray(trans, np.float64)
+    n = stc.shape[0]
+    back = np.empty(n * 2, np.uint8)
+    out = np.empty(n, np.int64)
+    lib.mc_red_viterbi(stc, n, pr, tr, npos, back, out)
+    return out

@@ -47,13 +47,16 @@ def _window_sums(scores: np.ndarray, w: int) -> Tuple[np.ndarray, np.ndarray]:
 
 
 def detect_segment(oscores: np.ndarray, seg_start: int, seg_end: int,
-                   s: int, w: int, m: float, t: float, p: float, e: int
-                   ) -> List[List[int]]:
+                   s: int, w: int, m: float, t: float, p: float, e: int,
+                   lt: np.ndarray = None) -> List[List[int]]:
     half_s = s
     smoothed = _smooth(oscores, seg_start, seg_end, s)
     first, second = _window_sums(smoothed, w)
-    lt = np.concatenate(([0], np.cumsum(
-        (oscores < t).astype(np.int64))))  # prefix of score<t over genome
+    if lt is None:
+        # prefix of score<t over the genome — callers with many segments
+        # precompute this once (detect_chromosome) instead of per segment
+        lt = np.concatenate(([0], np.cumsum(
+            (oscores < t).astype(np.int64))))
 
     def count_less(a: int, b: int) -> int:
         return int(lt[b + 1] - lt[a])
@@ -160,8 +163,9 @@ def detect_chromosome(oscores: np.ndarray, segments: np.ndarray, s: int,
     than 2w + 10 (ChromDetectorMaxima.cpp:38-56)."""
     out: List[List[int]] = []
     eff_len = 2 * w + 10
+    lt = np.concatenate(([0], np.cumsum((oscores < t).astype(np.int64))))
     for a, b in segments:
         if b - a + 1 > eff_len:
             out.extend(detect_segment(oscores, int(a), int(b), s, w, m, t,
-                                      p, e))
+                                      p, e, lt=lt))
     return out

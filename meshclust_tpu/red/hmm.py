@@ -104,6 +104,11 @@ class HMM:
         n = r_end - r_start + 1
         st = scores[r_start: r_end + 1].astype(np.int64)
         npos = self.n_pos
+        if n > 1:
+            from meshclust_tpu import native
+            got = native.red_viterbi(st, self.priors, self.trans, npos)
+            if got is not None:
+                return got
         vP = self.priors[st[0]]
         vN = self.priors[st[0] + npos]
         back = np.zeros((n, 2), np.int8)   # 0 = from positive, 1 = negative
@@ -184,16 +189,10 @@ class HMM:
         used by Scanner)."""
         states = self.decode_states(scores, r_start, r_end)
         pos = states < self.n_pos
-        out: List[List[int]] = []
-        i = 0
-        n = pos.shape[0]
-        while i < n:
-            if pos[i]:
-                j = i
-                while j + 1 < n and pos[j + 1]:
-                    j += 1
-                out.append([r_start + i, r_start + j])
-                i = j + 1
-            else:
-                i += 1
-        return out
+        # vectorized positive-run extraction (same [start, end] runs as the
+        # scalar scan)
+        edges = np.diff(np.concatenate(([0], pos.view(np.int8), [0])))
+        starts = np.flatnonzero(edges == 1)
+        ends = np.flatnonzero(edges == -1) - 1
+        return [[r_start + int(a), r_start + int(b)]
+                for a, b in zip(starts, ends)]

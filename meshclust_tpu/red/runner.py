@@ -126,6 +126,7 @@ def run_red(cfg: RedConfig) -> dict:
         if d:
             os.makedirs(d, exist_ok=True)
     fi = 0
+    plain_cache: dict = {}
     for fpath, fseqs in zip(files, per_file):
         nick = os.path.splitext(os.path.basename(fpath))[0]
         first = True
@@ -140,9 +141,19 @@ def run_red(cfg: RedConfig) -> dict:
                     os.path.join(cfg.rpt, nick + ".rpt"), s.header, regions,
                     cfg.frm, append=not first)
             if cfg.msk:
-                lut = np.array(list("ACGT"), dtype="U1")
-                base = "".join(
-                    lut[c] if c < 4 else "N" for c in s.codes)
+                # reference masks the ORIGINAL letters (makeChromList +
+                # toUpperCase, incl. multi-line header continuation —
+                # ChromListMaker.cpp:49-89), not the one-digit re-encoding
+                if fpath not in plain_cache:
+                    plain_cache[fpath] = fio.read_fasta_plain(fpath)
+                base = None
+                for ph, pseq in plain_cache[fpath]:
+                    if ph == s.header and len(pseq) == s.length:
+                        base = pseq
+                        break
+                if base is None:     # header mismatch: one-digit fallback
+                    lut = np.array(list("ACGT") + ["N"] * 252, dtype="U1")
+                    base = "".join(lut[np.minimum(s.codes, 255)])
                 rscanner.write_masked(
                     os.path.join(cfg.msk, nick + ".msk"), s.header, base,
                     regions, append=not first)

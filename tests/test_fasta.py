@@ -89,3 +89,19 @@ def test_chunk_boundary_is_adjacent():
     # iterates per segment chunk)
     assert not v[999_996:1_000_000].any()
     assert v[1_000_000]
+
+
+def test_read_fasta_plain_header_continuation(tmp_path):
+    """makeChromList semantics (ChromListMaker.cpp:49-89): leading space/tab
+    lines continue the header (all-whitespace skipped), original letters are
+    kept (uppercased), IUPAC codes survive verbatim."""
+    from meshclust_tpu.io.fasta import read_fasta_plain
+    p = tmp_path / "cont.fa"
+    p.write_text(">chr1 part\n\tcontinued header\n   \nacgtRYacgt\n"
+                 ">chr2\nACGTNNAC\n")
+    recs = read_fasta_plain(str(p))
+    assert len(recs) == 2
+    h1, s1 = recs[0]
+    assert h1 == ">chr1 part\tcontinued header"
+    assert s1 == "ACGTRYACGT"          # uppercased, IUPAC preserved
+    assert recs[1] == (">chr2", "ACGTNNAC")
