@@ -104,7 +104,8 @@ _BUILD_CACHE: dict = {}
 
 
 def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
-                     singles, combos, tile: int = 0, mode: str = "f32"):
+                     singles, combos, tile: int = 0, mode: str = "f32",
+                     mesh=None):
     """Build the jitted full-phase-A function.
 
     Static: N slots, V lanes, nbins, Cmax center capacity, similarity, the
@@ -116,7 +117,17 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
     double-single (ops/ds.py) — decisions equal the float64 host oracle.
     'cert' = certified f32 (ops/certify.py): same decisions as 'ds', DS
     evaluated only under a lax.cond when a margin is inside the error
-    bound (fallback counts returned in nfb). 'f32' = plain f32."""
+    bound (fallback counts returned in nfb). 'f32' = plain f32.
+
+    mesh: a 1-D jax Mesh to shard the FEATURE axis over (round-4 verdict
+    #1b: the dominant phase must use the mesh). Every V-reduction in the
+    program (man, dot, dist, mag, sum(cw)) sums exact integer-valued f32
+    (< 2^24, gated by ds_inputs_exact / the nfb[3] telemetry), so psum of
+    per-shard exact partials is order-independent and the sharded program
+    is BIT-IDENTICAL to the replicated one; the DS/cert tie-break machinery
+    consumes only those already-reduced scalars (ops/ds_classify.py). Per-
+    device HBM traffic for the [N, V] sweeps drops by the mesh size, which
+    is the phase's roofline (measured 55% HBM util single-chip)."""
     singles = tuple(singles)
     combos = tuple((c, tuple(ix)) for c, ix in combos)
     T = tile or _pick_tile(N)
@@ -127,11 +138,22 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
     dbg = frozenset(
         t for t in _os.environ.get("MESHCLUST_ACCUM_DBG", "").split(",")
         if t)
-    key = (N, V, nbins, Cmax, float(sim), singles, combos, T, mode, dbg)
+    ax = mesh.axis_names[0] if mesh is not None else None
+    mesh_key = ((ax, tuple(int(d.id) for d in mesh.devices.flat))
+                if mesh is not None else None)
+    key = (N, V, nbins, Cmax, float(sim), singles, combos, T, mode, dbg,
+           mesh_key)
     cached = _BUILD_CACHE.get(key)
     if cached is not None:
         return cached
     use_ds = mode == "ds"
+
+    def _vsum(x):
+        """Exact cross-shard reduction of integer-valued f32 partials."""
+        return jax.lax.psum(x, ax) if ax else x
+
+    def _vmax(x):
+        return jax.lax.pmax(x, ax) if ax else x
 
     def fn(hist_s, mag_s, sq_s, len_s, orig_ids, bin_of, bin_start,
            bin_end, begin_bounds, mins, maxs, is_sim, weights,
@@ -255,10 +277,14 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             ok = active & (slots_i >= w0) & (slots_i <= w1) \
                 & (w1 >= w0)
             h_f = hist_s.astype(jnp.float32)
+            # man/dot are the ONLY V-reductions of the classifier; exact
+            # integer f32 sums, so the cross-shard psum is bit-exact and
+            # everything downstream (cert bounds, DS fallbacks) consumes
+            # replicated scalars.
+            man = _vsum(jnp.sum(jnp.abs(h_f - h_c[None, :]), axis=1))
+            dot = _vsum(h_f @ h_c)
             if mode == "cert":
                 from meshclust_tpu.ops import certify as CT
-                man = jnp.sum(jnp.abs(h_f - h_c[None, :]), axis=1)
-                dot = h_f @ h_c
                 s, eps_s, f1, eps_f1 = CT.score(
                     singles, combos, mins[0], maxs[0], is_sim, weights[0],
                     man, dot, mag_s, mg_c, sq_s, sq_c, len_s, ln_c, V)
@@ -268,10 +294,17 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                     lambda _: _ds_score_full(man, dot, mg_c, sq_c, ln_c)[0],
                     lambda _: s >= 0.0, None)
                 nfb = nfb.at[0].add(unc_s.astype(i32))
+            elif use_ds:
+                from meshclust_tpu.ops import ds_classify as DSC
+                pos, f1h, f1l = DSC.score(
+                    singles, combos, mins, maxs, is_sim, weights, man, dot,
+                    mag_s, mg_c, sq_s, sq_c, len_s, ln_c, V)
             else:
-                pos, f1h, f1l = _classify(
-                    h_f, h_c, mag_s, mg_c, sq_s, sq_c, len_s, ln_c, V,
-                    singles, combos, mins, maxs, is_sim, weights, use_ds)
+                from meshclust_tpu.core.classify import _score_rows_f32
+                pos, f1h = _score_rows_f32(
+                    singles, combos, V, man, dot, mag_s, mg_c, sq_s, sq_c,
+                    len_s, ln_c, mins, maxs, is_sim, weights)
+                f1l = jnp.zeros_like(f1h)
             pos = pos & ok
             any_ok = jnp.any(ok)
             if mode != "cert":
@@ -306,7 +339,7 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             # exactness telemetry: per-lane cluster sums must stay < 2^24
             # for the integer-f32 accumulation (and the DS/cert mean) to
             # be exact; the driver warns if this ever trips (ADVICE r4).
-            nfb = nfb.at[3].max(jnp.max(sumvec).astype(i32))
+            nfb = nfb.at[3].max(_vmax(jnp.max(sumvec)).astype(i32))
             any_pos = npos_i > 0
             if mode == "cert":
                 def certified_best(nfb):
@@ -363,7 +396,13 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
             from meshclust_tpu.ops import ds_classify as DSC
             h_f = hist_s.astype(jnp.float32)
             cw = DSC.cw_exact(sumvec, count)
-            dh, dl = DSC.distance_d_from_cw(h_f, cw[None, :])
+            # dist/mag are exact integer f32 sums over V (the only V-
+            # reductions): psum the per-shard partials, then the DS frac/d
+            # arithmetic runs on replicated scalars
+            dist = 2.0 * _vsum(jnp.sum(
+                jnp.minimum(h_f, jnp.broadcast_to(cw, h_f.shape)), axis=-1))
+            mg = _vsum(jnp.sum(h_f, axis=-1) + jnp.sum(cw))
+            dh, dl = DSC.distance_d_scalars(dist, mg)
             dh = jnp.where(mask, dh, INF)
             dl = jnp.where(mask, dl, INF)
             mh = jnp.min(dh)
@@ -392,16 +431,18 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                 from meshclust_tpu.ops import certify as CT
                 cnt_i = jnp.maximum(count, 1.0).astype(i32)
                 cw_i = CT.exact_floor_div(
-                    sumvec.astype(i32), jnp.broadcast_to(cnt_i, (V,)))
+                    sumvec.astype(i32),
+                    jnp.broadcast_to(cnt_i, sumvec.shape))
                 cw = cw_i.astype(jnp.float32)
             else:
                 mean = sumvec / jnp.maximum(count, 1.0)
                 cw = jnp.floor(mean)
-            dist = 2.0 * jnp.sum(jnp.minimum(h_f, cw[None, :]), axis=1)
+            dist = 2.0 * _vsum(
+                jnp.sum(jnp.minimum(h_f, cw[None, :]), axis=1))
             # exact identity for integer h: floor(h + mean) = h +
             # floor(mean) (both < 2^24, the f32 add is exact), so the
             # [N, V] floor pass collapses to mag + sum(floor(mean))
-            mg = mag_s + jnp.sum(cw)
+            mg = mag_s + _vsum(jnp.sum(cw))
             if mode == "cert":
                 d, eps_d = CT.distance_d(dist, mg)
             else:
@@ -484,15 +525,41 @@ def build_accumulate(N: int, V: int, nbins: int, Cmax: int, sim: float,
                  nfb0)
         return jax.lax.while_loop(outer_cond, outer_body, state)
 
-    jitted = jax.jit(fn, donate_argnums=(13, 14, 15, 19, 21))
+    if mesh is None:
+        jitted = jax.jit(fn, donate_argnums=(13, 14, 15, 19, 21))
+    else:
+        from jax.sharding import PartitionSpec as P
+        try:
+            from jax import shard_map            # JAX >= 0.8
+        except ImportError:
+            from jax.experimental.shard_map import shard_map
+        pv, pr = P(None, ax), P()
+        # arg 0 (hist_s [N, V]) sharded on the feature axis; all slot-/
+        # center-/scalar-state replicated (identical on every device by
+        # construction: the only cross-device values are psum'd exact ints)
+        kw = {}
+        import inspect
+        sig = inspect.signature(shard_map).parameters
+        if "check_rep" in sig:
+            kw["check_rep"] = False
+        elif "check_vma" in sig:
+            kw["check_vma"] = False
+        sm = shard_map(fn, mesh=mesh, in_specs=(pv,) + (pr,) * 22,
+                       out_specs=(pr,) * 9, **kw)
+        jitted = jax.jit(sm)
     _BUILD_CACHE[key] = jitted
     return jitted
 
 
 def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
-                      cmax_hint: int = 0):
+                      cmax_hint: int = 0, mesh=None):
     """Run phase A on device. `bv` must be a finalized BVec; returns the
-    Center list in reference semantics (see core/meanshift.Center)."""
+    Center list in reference semantics (see core/meanshift.Center).
+
+    mesh: optional 1-D Mesh — shards the [N, V] feature streams (the
+    phase's HBM roofline) across devices with bit-identical results; see
+    build_accumulate. Ignored (replicated) when V does not divide evenly
+    or MESHCLUST_PHASEA_SHARD=0."""
     from meshclust_tpu.core.meanshift import Center
 
     slots_point = np.concatenate([np.asarray(b, np.int64) for b in bv.idx])
@@ -544,6 +611,18 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     # then scale with the live count, not N. Each bucket size is its own
     # compiled program (~5 variants over a full run, persistent-cached).
     import os
+    if mesh is not None and (
+            ps.V % mesh.devices.size != 0
+            or os.environ.get("MESHCLUST_PHASEA_SHARD", "1") != "1"):
+        mesh = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ax0 = mesh.axis_names[0]
+        hist_s = jax.device_put(hist_s, NamedSharding(mesh, P(None, ax0)))
+        repl = NamedSharding(mesh, P())
+        mag_s = jax.device_put(mag_s, repl)
+        sq_s = jax.device_put(sq_s, repl)
+        len_s = jax.device_put(len_s, repl)
     K = max(1, int(os.environ.get("MESHCLUST_ACCUM_CHUNK", "512")))
     compact_on = os.environ.get("MESHCLUST_ACCUM_COMPACT", "1") == "1"
     min_bucket = int(os.environ.get("MESHCLUST_ACCUM_MINBUCKET", "4096"))
@@ -588,7 +667,7 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
     nfb = jnp.zeros(4, i32)
     while True:
         fn = build_accumulate(Nb, ps.V, nbins, Cmax, sim, params.singles,
-                              combos_l, mode=mode)
+                              combos_l, mode=mode, mesh=mesh)
         limit = i32(min(int(c) + K, Cmax))
         (active, owner_l, stamp_l, t, seed, c, center_slot, done,
          nfb) = fn(
@@ -619,6 +698,10 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
             hist_b = hist_b[perm]
             mag_b = mag_b[perm]
             sq_b = sq_b[perm]
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                hist_b = jax.device_put(
+                    hist_b, NamedSharding(mesh, P(None, mesh.axis_names[0])))
             # pads sort after every live length in the last bin. 2^30 is
             # f32-exact and converts to int32 safely (len arrays are f32
             # on device; 2^31-1 would round to 2^31 whose i32 convert is

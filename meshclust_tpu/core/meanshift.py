@@ -66,7 +66,9 @@ class MeanShift:
         if getattr(self.backend, "supports_device_accumulate", False):
             from meshclust_tpu.core.accumulate_device import accumulate_device
             return accumulate_device(self.ps, bv, self.backend.params,
-                                     self.sim)
+                                     self.sim,
+                                     mesh=getattr(self.backend, "mesh",
+                                                  None))
         ps = self.ps
         _ = ps.hist    # host path: materialize once, not per mean_select
         centers: List[Center] = []

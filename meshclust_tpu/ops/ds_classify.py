@@ -167,6 +167,14 @@ def distance_d_from_cw(h, cw):
     cw_b = jnp.broadcast_to(cw, h.shape)
     dist = 2.0 * jnp.sum(jnp.minimum(h, cw_b), axis=-1)
     mg = jnp.sum(h, axis=-1) + jnp.sum(cw_b, axis=-1)
+    return distance_d_scalars(dist, mg)
+
+
+def distance_d_scalars(dist, mg):
+    """The DS frac/d arithmetic of `distance_d_from_cw` from already-
+    reduced exact integer (dist, mag) scalars — the V-reductions happen at
+    the caller (where a feature-sharded mesh psums per-shard partials,
+    core/accumulate_device.py)."""
     frac = ds.div(ds.wrap(dist), ds.wrap(jnp.maximum(mg, 1.0)))
     one = ds.wrap(jnp.ones_like(frac[0]))
     return ds.scale(ds.sub(one, ds.mul(frac, frac)), 10000.0)

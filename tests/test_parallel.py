@@ -207,3 +207,37 @@ def test_two_process_distributed_cli(tmp_path, rng):
     assert got0 == got1
     assert got0 == want
     assert want.count(">Cluster") >= 2
+
+
+def test_phase_a_feature_sharded_equals_replicated(tmp_path, rng,
+                                                   monkeypatch):
+    """Phase A with the [N, V] feature axis sharded over the mesh produces
+    bit-identical (owner, stamp, centers) to the replicated program, and
+    the sharded build is actually engaged (round-4 verdict #1b)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from meshclust_tpu.core import accumulate_device as AD
+    from meshclust_tpu.config import ClusterConfig
+    from meshclust_tpu.core.runner import run
+
+    fa = _e2e_fasta(tmp_path, rng)
+    n_sharded_builds = [0]
+    orig_build = AD.build_accumulate
+
+    def counting_build(*a, **kw):
+        if kw.get("mesh") is not None:
+            n_sharded_builds[0] += 1
+        return orig_build(*a, **kw)
+
+    monkeypatch.setattr(AD, "build_accumulate", counting_build)
+    monkeypatch.setenv("MESHCLUST_DEVICES", "8")
+    run(ClusterConfig(files=[fa], similarity=0.90,
+                      output=str(tmp_path / "a.clstr"),
+                      iterations=5, sample_size=120))
+    assert n_sharded_builds[0] > 0, "sharded Phase A build never engaged"
+    monkeypatch.setenv("MESHCLUST_PHASEA_SHARD", "0")
+    run(ClusterConfig(files=[fa], similarity=0.90,
+                      output=str(tmp_path / "b.clstr"),
+                      iterations=5, sample_size=120))
+    assert (tmp_path / "a.clstr").read_text() == \
+        (tmp_path / "b.clstr").read_text()
