@@ -52,25 +52,6 @@ from meshclust_tpu.ops import features as F
 INF = jnp.float32(np.inf)
 
 
-def _classify(h_w, h_c, mag_w, mag_c, sq_w, sq_c, len_w, len_c, V,
-              singles, combos, mins, maxs, is_sim, weights, use_ds):
-    """Vectorized classifier rows-vs-one-center.
-    Returns (positive, f1_hi, f1_lo). With use_ds, `mins` = [2,S] DS mins,
-    `maxs` = [2,S] DS spans, `weights` = [2,C+1] (core/classify layout)."""
-    man = jnp.sum(jnp.abs(h_w - h_c[None, :]), axis=1)
-    dot = h_w @ h_c
-    if use_ds:
-        from meshclust_tpu.ops import ds_classify as DSC
-        return DSC.score(singles, combos, mins, maxs, is_sim, weights,
-                         man, dot, mag_w, mag_c, sq_w, sq_c, len_w, len_c,
-                         V)
-    from meshclust_tpu.core.classify import _score_rows_f32
-    pos, f1 = _score_rows_f32(singles, combos, V, man, dot, mag_w, mag_c,
-                              sq_w, sq_c, len_w, len_c, mins, maxs, is_sim,
-                              weights)
-    return pos, f1, jnp.zeros_like(f1)
-
-
 def exact_mode(use_ds: bool) -> str:
     """Resolve the arithmetic mode for classifier decisions.
 
@@ -658,6 +639,50 @@ def accumulate_device(ps, bv, params: F.FeatureParams, sim: float,
         sel = ow >= 0
         g_owner[oi[sel]] = ow[sel]
         g_stamp[oi[sel]] = st[sel]
+
+    # Cold-start prewarm (round-4 verdict #6): the compaction ladder's
+    # bucket programs are needed MID-phase; compile them in a background
+    # thread while the first (foreground-compiled) program is already
+    # absorbing, so a fresh machine overlaps the remote-compile latency
+    # with Phase A compute instead of serializing it.  Compiled
+    # executables land in the persistent cache (utils/jaxcache), so the
+    # real dispatch later is a disk hit.  Replicated runs only (sharded
+    # lowerings key on input shardings).
+    if (compact_on and mesh is None
+            and os.environ.get("MESHCLUST_ACCUM_PREWARM", "1") == "1"):
+        import threading
+
+        def _spec(a, shape=None):
+            return jax.ShapeDtypeStruct(shape or a.shape, a.dtype)
+
+        def _prewarm():
+            nb = 1 << max(min_bucket.bit_length() - 1,
+                          (N - 1).bit_length() - 1)
+            while nb >= min_bucket:
+                try:
+                    fnb = build_accumulate(
+                        nb, ps.V, nbins, Cmax, sim, params.singles,
+                        combos_l, mode=mode)
+                    args = (
+                        _spec(hist_b, (nb, hist_b.shape[1])),
+                        _spec(mag_b, (nb,)), _spec(sq_b, (nb,)),
+                        _spec(len_b, (nb,)), _spec(orig_b, (nb,)),
+                        _spec(bin_of_b, (nb,)), _spec(bin_start_b),
+                        _spec(bin_end_b), _spec(bb_dev), _spec(mins_a),
+                        _spec(maxs_a), _spec(is_sim_a), _spec(weights_a),
+                        jax.ShapeDtypeStruct((nb,), bool),
+                        jax.ShapeDtypeStruct((nb,), np.int32),
+                        jax.ShapeDtypeStruct((nb,), np.int32),
+                        _spec(t), _spec(seed), _spec(c),
+                        _spec(center_slot), _spec(done), _spec(nfb),
+                        _spec(t))
+                    fnb.lower(*args).compile()
+                except Exception:     # prewarm is best-effort only
+                    pass
+                nb //= 2
+
+        threading.Thread(target=_prewarm, daemon=True,
+                         name="accum-prewarm").start()
 
     from meshclust_tpu.utils.progress import Progress
     prog = Progress(N + 1, "Accumulation")

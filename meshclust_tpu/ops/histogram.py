@@ -360,6 +360,8 @@ def featurize(seqs: List[fio.Sequence], k: int, use_pallas: bool = True,
             sub = [seqs[i] for i in chunk]
             rows = len(sub)
             rp = 256 if rows <= 256 else round_up(rows, max(256, max_rows))
+            # one-hot hi^T @ lo contraction: 2 * Lpad * V flops per row
+            perf.add("feat_matmul_flops", 2.0 * rp * Lp * V)
             all_simple = all(
                 s.segments.shape[0] == 1 and s.segments[0, 0] == 0
                 and s.segments[0, 1] == s.length - 1 for s in sub)
